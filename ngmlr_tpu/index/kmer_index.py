@@ -1,0 +1,227 @@
+"""k-mer prefix index: flat two-array layout, vectorized two-pass build.
+
+Rebuild of CompactPrefixTable (/root/reference/src/PrefixTable.cpp) as two
+numpy arrays:
+
+  * ``bucket_start``: int64[4^k + 1] — positions for prefix p live at
+    ``positions[bucket_start[p]:bucket_start[p+1]]``,
+  * ``positions``: int64[n] — concat-genome k-mer start positions in
+    chromosome scan order.
+
+Semantics preserved from the reference build
+(PrefixTable.cpp:202-330, 372-454):
+
+  * k-mer stream per chromosome: 2-bit rolling encode ((c>>1)&3,
+    CSstatic.cpp:17-19) over the *decoded* chromosome (so an odd-length
+    chromosome's final base decodes to 'x' → code 0, SequenceProvider.cpp
+    DecodeRefSequence quirk), N-runs break the stream, stride
+    kmer_skip+1 restarts at each N-free segment (CSstatic.cpp:23-73),
+  * consecutive same-prefix emissions falling in the same diagonal bin
+    (pos >> bin_size) are dropped — repeat compression
+    (PrefixTable.cpp:372-393),
+  * frequency cutoff: prefix kept iff fwd freq > 0 AND
+    fwd+revcomp freq < max_prefix_freq AND the stored uniqueness weight
+    (max_prefix_freq - total)*100/max_prefix_freq truncates to a nonzero
+    int8 — i.e. effectively total <= 990 for the default 1000
+    (PrefixTable.cpp:296-309 + Index::used(), PrefixTable.h:27-30),
+  * the all-ones prefix (4^k - 1, poly-G) is never indexed
+    (createRefTableIndex loops i < length-1, PrefixTable.cpp:289),
+  * reverse strand is not stored; lookups also return the position list of
+    the reverse-complement prefix flagged reverse (PrefixTable.cpp:476-532).
+
+Design deviation (documented): positions are int64 in a single table — the
+reference's 4-GB TableUnit split (PrefixTable.h:58-75) exists only because it
+stores uint32 positions; a flat 64-bit table removes that machinery.
+"""
+
+from typing import Iterator, List, Optional, Tuple
+import os
+
+import numpy as np
+
+from ..io.reference import ReferenceGenome
+
+INDEX_COOKIE = 0x1701E  # PrefixTable.cpp:21
+INDEX_VERSION = 2
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _revcomp_table(k: int) -> np.ndarray:
+    """Permutation p -> revcomp(p) over all 4^k prefixes, built by halves.
+
+    For k=13 this composes tables for the high/low halves instead of looping
+    13 shift/or passes over a 67M-element array.
+    """
+    if k <= 8:
+        return np.asarray(
+            revcomp_prefix(np.arange(4 ** k, dtype=np.int64), k)).astype(np.int32)
+    k_hi = k // 2
+    k_lo = k - k_hi
+    lo_t = _revcomp_table(k_lo).astype(np.int32)
+    hi_t = _revcomp_table(k_hi).astype(np.int32)
+    # p = hi * 4^k_lo + lo ; rc(p) = rc(lo) * 4^k_hi + rc(hi)
+    return ((lo_t[None, :].astype(np.int64) << (2 * k_hi)).astype(np.int32)
+            + hi_t[:, None]).reshape(-1)
+
+
+def revcomp_prefix(prefix, k: int):
+    """Reverse-complement of 2-bit packed k-mers ((c>>1)&3 encoding).
+
+    Complement = XOR each 2-bit group with 0b10 (PrefixTable.cpp:70-88),
+    then reverse the k groups. Works on scalars or numpy arrays.
+    """
+    p = np.asarray(prefix, dtype=np.int64) ^ (0xAAAAAAAAAAAAAAA & ((1 << (2 * k)) - 1))
+    out = np.zeros_like(p)
+    for _ in range(k):
+        out = (out << 2) | (p & 3)
+        p = p >> 2
+    return out
+
+
+def kmer_stream(chars: np.ndarray, k: int, stride: int) -> Tuple[np.ndarray, np.ndarray]:
+    """All (prefix, start_pos) emitted by the reference's PrefixIteration.
+
+    ``chars``: uint8 ASCII array. N-runs split the sequence into segments;
+    each segment emits k-mers from its first valid start with the given
+    stride (CSstatic.cpp:23-73). Returns (prefixes int64, starts int64).
+    """
+    n = len(chars)
+    if n < k:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    codes = ((chars.astype(np.int64)) >> 1) & 3
+    not_n = chars != ord("N")
+
+    # validity of each k-mer window: all k chars non-N
+    cs = np.concatenate([[0], np.cumsum(not_n.astype(np.int64))])
+    nstarts = n - k + 1
+    win_ok = (cs[k:] - cs[:-k]) == k          # [nstarts]
+
+    # rolling 2-bit value
+    val = np.zeros(nstarts, dtype=np.int64)
+    for j in range(k):
+        val = (val << 2) | codes[j:j + nstarts]
+
+    # stride anchored at each segment's first valid window:
+    # segment id = number of N chars before the window start
+    seg_id = cs[:nstarts] * 0  # placeholder
+    n_before = np.arange(nstarts) - cs[:nstarts]  # num Ns before each start? no:
+    # cs[:nstarts][i] = count of non-N in chars[0:i] → Ns before i = i - that
+    seg_id = n_before  # distinct value per N-run prefix → constant within a segment
+
+    idx = np.nonzero(win_ok)[0]
+    if len(idx) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    seg_of = seg_id[idx]
+    # first valid window index within each segment
+    first_new = np.ones(len(idx), dtype=bool)
+    first_new[1:] = seg_of[1:] != seg_of[:-1]
+    seg_first = np.maximum.accumulate(np.where(first_new, idx, 0))
+    keep = ((idx - seg_first) % stride) == 0
+    starts = idx[keep]
+    return val[starts], starts.astype(np.int64)
+
+
+class KmerIndex:
+    def __init__(self, k: int, bucket_start: np.ndarray, positions: np.ndarray,
+                 bin_size: int, kmer_skip: int):
+        self.k = k
+        self.bucket_start = bucket_start  # int64 [4^k + 1]
+        self.positions = positions        # int64 [n]
+        self.bin_size = bin_size
+        self.kmer_skip = kmer_skip
+
+    # -- build -----------------------------------------------------------
+
+    @classmethod
+    def build(cls, ref: ReferenceGenome, k: int = 13, kmer_skip: int = 2,
+              bin_size: int = 4, max_prefix_freq: int = 1000) -> "KmerIndex":
+        n_prefix = 4 ** k
+        stride = kmer_skip + 1
+
+        all_prefixes: List[np.ndarray] = []
+        all_pos: List[np.ndarray] = []
+        for ci in range(len(ref.names)):
+            offset = int(ref.ref_start[ci])
+            length = int(ref.ref_len[ci])
+            decoded = ref.decode_window(offset, length + 2)
+            chars = np.frombuffer(decoded[:length], dtype=np.uint8)
+            prefixes, starts = kmer_stream(chars, k, stride)
+            pos = starts + offset
+            # same-prefix same-bin dedup (PrefixTable.cpp:372-393); state
+            # resets per chromosome
+            if len(pos) > 1:
+                bins = pos >> bin_size
+                skip = np.zeros(len(pos), dtype=bool)
+                skip[1:] = (prefixes[1:] == prefixes[:-1]) & (bins[1:] == bins[:-1])
+                prefixes = prefixes[~skip]
+                pos = pos[~skip]
+            all_prefixes.append(prefixes)
+            all_pos.append(pos)
+
+        prefixes = np.concatenate(all_prefixes) if all_prefixes else np.zeros(0, np.int64)
+        pos = np.concatenate(all_pos) if all_pos else np.zeros(0, np.int64)
+
+        freq = np.bincount(prefixes, minlength=n_prefix).astype(np.int32)
+        rc_freq = freq[_revcomp_table(k)]
+        total = freq + rc_freq
+        weight = ((max_prefix_freq - total) * 100.0 / max_prefix_freq).astype(np.int8)
+        used = (freq > 0) & (total < max_prefix_freq) & (weight != 0)
+        used[n_prefix - 1] = False  # poly-G never indexed (PrefixTable.cpp:289)
+
+        keep = used[prefixes]
+        prefixes = prefixes[keep]
+        pos = pos[keep]
+        order = np.argsort(prefixes, kind="stable")  # scan order within bucket
+        sorted_prefix = prefixes[order]
+        positions = pos[order]
+        bucket_start = np.zeros(n_prefix + 1, dtype=np.int64)
+        counts = np.bincount(sorted_prefix, minlength=n_prefix)
+        bucket_start[1:] = np.cumsum(counts)
+        return cls(k, bucket_start, positions, bin_size, kmer_skip)
+
+    # -- cache -------------------------------------------------------------
+
+    @classmethod
+    def load_or_build(cls, ref: ReferenceGenome, ref_path: str, k: int = 13,
+                      kmer_skip: int = 2, bin_size: int = 4,
+                      max_prefix_freq: int = 1000, use_cache: bool = True,
+                      skip_save: bool = False) -> "KmerIndex":
+        cache = f"{ref_path}-ht-{k}-{kmer_skip}.tpu.npz"
+        if use_cache and os.path.exists(cache):
+            idx = cls._load_cache(cache, k, kmer_skip, bin_size)
+            if idx is not None:
+                return idx
+        idx = cls.build(ref, k, kmer_skip, bin_size, max_prefix_freq)
+        if use_cache and not skip_save:
+            try:
+                np.savez(cache, cookie=np.int64(INDEX_COOKIE), version=np.int64(INDEX_VERSION),
+                         k=np.int64(k), kmer_skip=np.int64(kmer_skip),
+                         bucket_start=idx.bucket_start, positions=idx.positions)
+            except OSError:
+                pass
+        return idx
+
+    @classmethod
+    def _load_cache(cls, cache: str, k: int, kmer_skip: int,
+                    bin_size: int) -> Optional["KmerIndex"]:
+        try:
+            with np.load(cache, allow_pickle=False) as z:
+                if (int(z["cookie"]) != INDEX_COOKIE or int(z["version"]) != INDEX_VERSION
+                        or int(z["k"]) != k or int(z["kmer_skip"]) != kmer_skip):
+                    return None
+                return cls(k, z["bucket_start"], z["positions"], bin_size, kmer_skip)
+        except Exception:
+            return None
+
+    # -- lookup ------------------------------------------------------------
+
+    def lookup(self, prefix: int) -> np.ndarray:
+        lo = self.bucket_start[prefix]
+        hi = self.bucket_start[prefix + 1]
+        return self.positions[lo:hi]
+
+    def counts_for(self, prefixes: np.ndarray) -> np.ndarray:
+        return (self.bucket_start[prefixes + 1] - self.bucket_start[prefixes])
