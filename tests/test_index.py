@@ -93,13 +93,14 @@ def test_index_same_bin_dedup(tmp_path):
     # collapses each 16-base bin to its first emission.
     seq = "A" * 100
     ref, _ = _mk_ref(tmp_path, [seq])
-    idx = KmerIndex.build(ref, k=13, kmer_skip=2, bin_size=4)
+    idx = KmerIndex.build(ref, k=7, kmer_skip=2, bin_size=4)
     nz = np.nonzero(np.diff(idx.bucket_start))[0]
     assert len(nz) == 1  # only poly-A
     pos = idx.lookup(int(nz[0])) - 1000  # remove leading pad
-    # emissions at chrom-relative 0,3,...,87; bins are ABSOLUTE (pos+1000)>>4,
-    # so bin edges fall at relative 8,24,40,...; first emission per bin:
-    assert pos.tolist() == [0, 9, 24, 42, 57, 72, 87]
+    # emissions at chrom-relative 0,3,...,93 (k=7); bins are ABSOLUTE
+    # (pos+1000)>>4, so bin edges fall at relative 8,24,40,...; first
+    # emission per bin:
+    assert pos.tolist() == [0, 9, 24, 42, 57, 72, 90]
 
 
 def test_candidate_search_finds_origin(tmp_path):
@@ -107,7 +108,6 @@ def test_candidate_search_finds_origin(tmp_path):
     seq = "".join("ACGT"[i] for i in rng.integers(0, 4, size=5000))
     ref, _ = _mk_ref(tmp_path, [seq])
     idx = KmerIndex.build(ref, k=13, kmer_skip=2, bin_size=4)
-
     start = 1234
     sub = seq[start:start + 256].encode()
     from ngmlr_tpu.io.fastx import reverse_complement
