@@ -17,7 +17,7 @@ def test_simple_scores():
 def test_n_and_x_score_zero():
     # N and x contribute 0 — can bridge but not extend score
     assert score_pair_numpy(b"ACNNGT", b"ACNNGT") == 4.0
-    assert score_pair_numpy(b"ACxxGT", b"ACGGGT") == 2.0
+    assert score_pair_numpy(b"ACxxGT", b"ACGGGT") == 4.0  # x bridges at 0 cost
 
 
 def test_batch_matches_numpy():
