@@ -1,0 +1,136 @@
+import numpy as np
+import pytest
+
+from ngmlr_tpu.ops.convex import BandSpec, run_batch, STOP, DIAG, INS, DEL
+from ngmlr_tpu.ops.convex_ref import fill_matrix
+from ngmlr_tpu.align.aligner import (align_banded, compute_alignment,
+                                     corridor_linear, corridor_full,
+                                     AlignerConfig)
+from ngmlr_tpu.align.cigar import backtrack, convert_cigar
+
+
+def _rand_seq(rng, n):
+    return bytes(rng.choice(list(b"ACGT"), size=n).astype(np.uint8))
+
+
+def _mutate(rng, seq, sub=0.05, ins=0.03, dele=0.03):
+    out = bytearray()
+    for c in seq:
+        r = rng.random()
+        if r < dele:
+            continue
+        if r < dele + ins:
+            out.append(rng.choice(list(b"ACGT")))
+        if r < dele + ins + sub:
+            out.append(rng.choice(list(b"ACGT")))
+        else:
+            out.append(c)
+    return bytes(out)
+
+
+def test_wavefront_matches_oracle_random():
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        H = int(rng.integers(4, 60))
+        W = int(rng.integers(4, 80))
+        ref = _rand_seq(rng, W)
+        qry = _rand_seq(rng, H)
+        width = int(rng.integers(3, 25))
+        base = rng.integers(-5, 5)
+        offs = (np.arange(H) * float(rng.choice([0.5, 1.0, 1.7]))).astype(np.int64) + base
+
+        bs, bx, by, dirs = fill_matrix(ref, qry, offs, width)
+        res = run_batch([BandSpec(ref, qry, offs, width)])[0]
+
+        assert res.score == pytest.approx(bs), f"trial {trial}"
+        if bs > 0:
+            assert (res.best_x, res.best_y) == (bx, by), f"trial {trial}"
+        # full direction-matrix equivalence over the band
+        for y in range(H):
+            for x in range(max(0, int(offs[y])), min(W, int(offs[y]) + width)):
+                assert res.dir_at(x, y) == dirs[y, x], (trial, x, y)
+
+
+def test_wavefront_perfect_match():
+    rng = np.random.default_rng(5)
+    qry = _rand_seq(rng, 50)
+    ref = _rand_seq(rng, 20) + qry + _rand_seq(rng, 20)
+    offs, width = corridor_linear(64, len(qry))
+    a = align_banded(ref, qry, offs, width, 0, 0)
+    assert a is not None
+    assert a.cigar == "50M"
+    assert a.score == 100.0
+    assert a.nm == 0 and a.identity == 1.0
+    assert a.position_offset == 20
+    assert a.md == "50"
+
+
+def test_align_with_mutations_cigar_length():
+    rng = np.random.default_rng(9)
+    truth = _rand_seq(rng, 400)
+    qry = _mutate(rng, truth)
+    ref = _rand_seq(rng, 50) + truth + _rand_seq(rng, 50)
+    offs, width = corridor_linear(128, len(qry))
+    a = align_banded(ref, qry, offs, width, 0, 0)
+    assert a is not None
+    # invariant: sum of M/I/S ops == read length (ConvexAlignFast.cpp check)
+    import re
+    consumed = sum(int(n) for n, op in re.findall(r"(\d+)([MIS])", a.cigar))
+    assert consumed == len(qry)
+    assert a._final_cigar_length == len(qry)
+    assert a.identity > 0.85
+
+
+def test_convex_gap_prefers_long_gap_extension():
+    # deletion of 30 bases: convex cost lets the gap extend cheaply after
+    # the first bases; alignment should span it as one 30D
+    rng = np.random.default_rng(21)
+    left = _rand_seq(rng, 80)
+    right = _rand_seq(rng, 80)
+    gap = _rand_seq(rng, 30)
+    ref = left + gap + right
+    qry = left + right
+    offs, width = corridor_linear(100, len(qry))
+    a = align_banded(ref, qry, offs, width, 0, 0)
+    assert a is not None
+    assert "30D" in a.cigar
+    assert a.cigar == "80M30D80M"
+    assert a.md == "80^" + gap.decode() + "80"
+    assert a.nm == 30
+
+
+def test_external_clips_added():
+    rng = np.random.default_rng(30)
+    qry = _rand_seq(rng, 60)
+    ref = qry
+    offs, width = corridor_linear(32, len(qry))
+    a = align_banded(ref, qry, offs, width, 7, 3)
+    assert a.cigar == "7S60M3S"
+    assert a.qstart == 7 and a.qend == 3
+    assert a._final_cigar_length == 70
+
+
+def test_compute_alignment_narrow_corridor_clips():
+    # A 40-base deletion cannot shift diagonals inside a 16-wide linear
+    # corridor; like the reference, the local alignment clips instead
+    # (validity only requires cigar length == read length,
+    # AlignmentBuffer.cpp:415).
+    rng = np.random.default_rng(40)
+    truth = _rand_seq(rng, 200)
+    qry = truth[:100] + truth[140:]
+    ref = truth
+    a = compute_alignment(None, 16, qry, 0, 0, len(qry), ref,
+                          AlignerConfig(), short_read=True)
+    assert a is not None
+    assert a.cigar == "100M60S"
+
+
+def test_compute_alignment_wide_corridor_spans_deletion():
+    rng = np.random.default_rng(40)
+    truth = _rand_seq(rng, 200)
+    qry = truth[:100] + truth[140:]
+    ref = truth
+    a = compute_alignment(None, 128, qry, 0, 0, len(qry), ref,
+                          AlignerConfig(), short_read=True)
+    assert a is not None
+    assert a.cigar == "100M40D60M"
