@@ -1,0 +1,106 @@
+"""Command-line interface — flag-compatible with the reference binary.
+
+Rebuild of ArgParser (/root/reference/src/ArgParser.cpp:61-290): same flag
+names, same defaults, same sign normalization and presets.
+"""
+
+import argparse
+import sys
+
+from .config import Config, apply_preset
+from .pipeline.runner import Pipeline
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ngmlr-tpu",
+        description="TPU-native long-read mapper with ngmlr's capabilities")
+    p.add_argument("-r", "--reference", required=True)
+    p.add_argument("-q", "--query", default="/dev/stdin")
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-x", "--presets", default="pacbio", choices=["pacbio", "ont"])
+    p.add_argument("-i", "--min-identity", type=float, default=0.65)
+    p.add_argument("-R", "--min-residues", type=float, default=0.25)
+    p.add_argument("--sensitivity", type=float, default=0.8)
+    p.add_argument("--match", type=float, default=2.0)
+    p.add_argument("--mismatch", type=float, default=-5.0)
+    p.add_argument("--gap-open", type=float, default=-5.0)
+    p.add_argument("--gap-extend-max", type=float, default=-5.0)
+    p.add_argument("--gap-extend-min", type=float, default=-1.0)
+    p.add_argument("--gap-decay", type=float, default=0.15)
+    p.add_argument("-k", "--kmer-length", type=int, default=13)
+    p.add_argument("--kmer-skip", type=int, default=2)
+    p.add_argument("--bin-size", type=int, default=4)
+    p.add_argument("--max-segments", type=int, default=1)
+    p.add_argument("--subread-length", type=int, default=256)
+    p.add_argument("--subread-corridor", type=int, default=40)
+    p.add_argument("--no-smallinv", action="store_true")
+    p.add_argument("--no-lowqualitysplit", action="store_true")
+    p.add_argument("--skip-write", action="store_true")
+    p.add_argument("--bam-fix", action="store_true")
+    p.add_argument("--no-progress", action="store_true")
+    p.add_argument("--progress", action="store_true")
+    p.add_argument("--rg-id", default=None)
+    for tag in ("sm", "lb", "pl", "ds", "dt", "pu", "pi", "pg", "cn", "fo", "ks"):
+        p.add_argument(f"--rg-{tag}", default=None)
+    p.add_argument("--batch-reads", type=int, default=512,
+                   help="host intake batch (TPU batching granularity)")
+    return p
+
+
+def config_from_args(args, argv) -> Config:
+    cfg = Config(
+        min_identity=args.min_identity,
+        min_residues=args.min_residues,
+        sensitivity=args.sensitivity,
+        bin_size=args.bin_size,
+        kmer_length=args.kmer_length,
+        kmer_skip=args.kmer_skip,
+        read_part_corridor=args.subread_corridor,
+        read_part_length=args.subread_length,
+        max_segment_number_per_kb=args.max_segments,
+        score_match=args.match,
+        score_mismatch=args.mismatch,
+        score_gap_open=args.gap_open,
+        score_gap_extend_max=args.gap_extend_max,
+        score_gap_extend_min=args.gap_extend_min,
+        score_gap_decay=args.gap_decay,
+        low_quality_split=not args.no_lowqualitysplit,
+        small_inversion_detection=not args.no_smallinv,
+        skip_save=args.skip_write,
+        bam_cigar_fix=args.bam_fix,
+        threads=args.threads,
+        batch_reads=args.batch_reads,
+        output_file=args.output,
+        rg_id=args.rg_id,
+        full_command_line=" ".join(["ngmlr-tpu"] + argv),
+    ).normalized()
+    cfg.rg_fields = {k.upper(): v for k, v in (
+        ("SM", args.rg_sm), ("LB", args.rg_lb), ("PL", args.rg_pl),
+        ("DS", args.rg_ds), ("DT", args.rg_dt), ("PU", args.rg_pu),
+        ("PI", args.rg_pi), ("PG", args.rg_pg), ("CN", args.rg_cn),
+        ("FO", args.rg_fo), ("KS", args.rg_ks)) if v}
+    return apply_preset(cfg, args.presets)
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args, argv)
+    pipeline = Pipeline(cfg, args.reference, use_cache=not args.skip_write)
+    out = open(args.output, "wb") if args.output else sys.stdout.buffer
+    try:
+        stats = pipeline.run(args.query, out,
+                             progress=args.progress and not args.no_progress)
+    finally:
+        if args.output:
+            out.close()
+    sys.stderr.write(
+        f"Done ({stats['mapped']} reads mapped, "
+        f"{stats['unmapped']} reads not mapped)\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

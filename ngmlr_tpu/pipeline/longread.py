@@ -1,0 +1,891 @@
+"""Long-read assembly: anchors → cLIS intervals → segments → SV-aware merge
+→ final banded alignments → reconciliation.
+
+Host-side rebuild of AlignmentBuffer::processLongReadLIS and its helpers
+(/root/reference/src/AlignmentBuffer.cpp:2845-3464 and the functions it
+calls). Control-heavy per-read logic stays on the host; every alignment and
+every scoring probe goes through the batched TPU kernels
+(ngmlr_tpu.ops.convex / ngmlr_tpu.ops.ungapped).
+
+Each helper carries the file:line of the reference function it rebuilds.
+"""
+
+from dataclasses import dataclass, field
+import math
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import Config
+from ..io.reads import Read
+from ..io.reference import ReferenceGenome
+from ..io.fastx import reverse_complement
+from ..ops.ungapped import score_pair_numpy, score_batch
+from ..align.aligner import AlignerConfig, compute_alignment
+from ..align.cigar import Align
+from ..chain.structs import (Anchor, Interval, c_round, can_span_deletion_insertion,
+                             get_distance_on_read, get_distance_on_ref,
+                             get_overlap_on_read, is_compatible, is_contained,
+                             is_duplication, is_same_direction, merge_intervals)
+from ..chain.clis import get_intervals_from_anchors
+
+f32 = np.float32
+
+SV_NONE, SV_INVERSION, SV_TRANSLOCATION, SV_UNKNOWN = 0, 1, 2, 3
+
+
+@dataclass
+class ScoredSubread:
+    """A subread after candidate scoring: all candidates sorted by score
+    (descending); anchors use the FULL list (MappedRead::numScores, used by
+    processLongReadLIS at AlignmentBuffer.cpp:2926-2999)."""
+    on_read: int
+    locations: np.ndarray
+    reverse: np.ndarray
+    scores: np.ndarray
+    mq: int
+
+
+@dataclass
+class AlignmentRecord:
+    """An Align plus its mapping location (the reference's LocationScore)."""
+    align: Align
+    location: int          # concat coordinate
+    reverse: bool
+    score: float
+    # filled by the SAM writer after convert():
+    ref_id: int = -1
+    local_pos: int = -1
+
+
+class LongReadProcessor:
+    def __init__(self, ref: ReferenceGenome, cfg: Config):
+        self.ref = ref
+        self.cfg = cfg
+        self.acfg = AlignerConfig(cfg.score_match, cfg.score_mismatch,
+                                  cfg.score_gap_open, cfg.score_gap_extend_max,
+                                  cfg.score_gap_extend_min, cfg.score_gap_decay)
+        self.rpl = cfg.read_part_length
+
+    # ------------------------------------------------------------------
+    # small helpers around intervals and the reference genome
+    # ------------------------------------------------------------------
+
+    def extend_interval_stop(self, iv: Interval, read_bp: int, read_length: int):
+        """extendIntervalStop (AlignmentBuffer.cpp:2386-2429)."""
+        chrom = self.ref.get_chr_borders(iv.on_ref_start, iv.on_ref_stop)
+        if chrom.start == 0 and chrom.end == 0:
+            return False
+        length_ratio = min(1.0, (iv.length_on_read() * 1.0 / iv.length_on_ref() * 1.0)
+                           if iv.length_on_ref() else 1.0)
+        extend_on_read = min(read_length - iv.on_read_stop, read_bp)
+        extend_on_ref = c_round(extend_on_read / length_ratio)
+        if iv.is_reverse:
+            max_extend = 0 if iv.on_ref_stop < chrom.start else iv.on_ref_stop - chrom.start
+        else:
+            max_extend = 0 if iv.on_ref_stop > chrom.end else chrom.end - iv.on_ref_stop
+        if extend_on_ref > max_extend:
+            extend_on_ref = max_extend
+            extend_on_read = min(extend_on_read,
+                                 max(0, c_round(extend_on_ref * length_ratio) - 1))
+        iv.on_read_stop += extend_on_read
+        if iv.is_reverse:
+            iv.on_ref_stop -= extend_on_ref
+        else:
+            iv.on_ref_stop += extend_on_ref
+        return True
+
+    def extend_interval_start(self, iv: Interval, read_bp: int):
+        """extendIntervalStart (AlignmentBuffer.cpp:2431-2468)."""
+        chrom = self.ref.get_chr_borders(iv.on_ref_start, iv.on_ref_stop)
+        if chrom.start == 0 and chrom.end == 0:
+            return False
+        length_ratio = min(1.0, (iv.length_on_read() * 1.0 / iv.length_on_ref() * 1.0)
+                           if iv.length_on_ref() else 1.0)
+        extend_on_read = min(iv.on_read_start, read_bp)
+        extend_on_ref = c_round(extend_on_read / length_ratio)
+        if iv.is_reverse:
+            max_extend = 0 if iv.on_ref_start > chrom.end else chrom.end - iv.on_ref_start
+        else:
+            max_extend = 0 if iv.on_ref_start < chrom.start else iv.on_ref_start - chrom.start
+        if extend_on_ref > max_extend:
+            extend_on_ref = max_extend
+            extend_on_read = min(extend_on_read,
+                                 max(0, c_round(extend_on_ref * length_ratio) - 1))
+        iv.on_read_start -= extend_on_read
+        if iv.is_reverse:
+            iv.on_ref_start += extend_on_ref
+        else:
+            iv.on_ref_start -= extend_on_ref
+        return True
+
+    @staticmethod
+    def shorten_interval_start(iv: Interval, read_bp: int):
+        """shortenIntervalStart (AlignmentBuffer.cpp:2471-2490)."""
+        if iv.on_read_start >= iv.on_read_stop:
+            return False
+        length_ratio = max(1.1, (iv.length_on_read() * 1.0 / iv.length_on_ref() * 1.0)
+                           if iv.length_on_ref() else 1.1)
+        ref_bp = c_round(read_bp / length_ratio)
+        if read_bp < iv.length_on_read() and ref_bp < iv.length_on_ref():
+            iv.on_read_start += read_bp
+            iv.on_ref_start = (iv.on_ref_start - ref_bp if iv.is_reverse
+                               else iv.on_ref_start + ref_bp)
+            return True
+        return False
+
+    @staticmethod
+    def shorten_interval_end(iv: Interval, read_bp: int):
+        """shortenIntervalEnd (AlignmentBuffer.cpp:2492-2513)."""
+        if iv.on_read_start >= iv.on_read_stop:
+            return False
+        length_ratio = max(1.1, (iv.length_on_read() * 1.0 / iv.length_on_ref() * 1.0)
+                           if iv.length_on_ref() else 1.1)
+        ref_bp = c_round(read_bp / length_ratio)
+        if read_bp < iv.length_on_read() and ref_bp < iv.length_on_ref():
+            iv.on_read_stop -= read_bp
+            iv.on_ref_stop = (iv.on_ref_stop + ref_bp if iv.is_reverse
+                              else iv.on_ref_stop - ref_bp)
+            return True
+        return False
+
+    def spans_chromosome_border(self, a: Interval, b: Interval) -> bool:
+        """spansChromosomeBorder (AlignmentBuffer.cpp:778-790)."""
+        ca = self.ref.get_chr_start((a.on_ref_stop + a.on_ref_start) // 2)
+        cb = self.ref.get_chr_start((b.on_ref_stop + b.on_ref_start) // 2)
+        return ca.start != cb.start
+
+    # -- read sequence extraction (extractReadSeq, AlignmentBuffer.cpp:1515-1549)
+
+    def extract_read_seq(self, read: Read, on_read_start: int, read_seq_len: int,
+                         is_reverse: bool, rev_comp: bool = False) -> Optional[bytes]:
+        if read_seq_len <= 0 or read_seq_len > 200000000:
+            return None
+        sub = read.seq[on_read_start:on_read_start + read_seq_len]
+        out = reverse_complement(sub) if is_reverse else sub
+        if rev_comp:
+            out = reverse_complement(out)
+        return out
+
+    def extract_ref_window(self, on_ref_start: int, on_ref_stop: int) -> Optional[bytes]:
+        """extractReferenceSequenceForAlignment (AlignmentBuffer.cpp:199-223)."""
+        if on_ref_start >= on_ref_stop:
+            return None
+        ref_seq_length = on_ref_stop - on_ref_start + 1
+        if ref_seq_length <= 0:
+            return None
+        return self.ref.decode_exact(on_ref_start, ref_seq_length)
+
+    # ------------------------------------------------------------------
+    # gap-overlap machinery (translocation guard)
+    # ------------------------------------------------------------------
+
+    def score_interval(self, iv: Interval, read: Read) -> float:
+        """scoreInterval (AlignmentBuffer.cpp:2515-2548)."""
+        if iv.on_read_start >= iv.on_read_stop:
+            return 0.0
+        read_seq = self.extract_read_seq(read, iv.on_read_start,
+                                         iv.length_on_read(), iv.is_reverse)
+        if read_seq is None:
+            return 0.0
+        on_ref_start = iv.on_ref_stop if iv.is_reverse else iv.on_ref_start
+        on_ref_stop = iv.on_ref_start if iv.is_reverse else iv.on_ref_stop
+        if on_ref_start >= on_ref_stop:
+            return 0.0
+        ref_seq = self.extract_ref_window(on_ref_start, on_ref_stop)
+        if ref_seq is None:
+            return 0.0
+        return score_pair_numpy(ref_seq, read_seq)
+
+    def _gap_overlaps(self, gap: Interval, all_intervals: List,
+                      read: Optional[Read]) -> bool:
+        """gapOverlapsWithInterval (AlignmentBuffer.cpp:2685-2742).
+
+        all_intervals entries are (snap_start, snap_stop, interval): the
+        reference's IntervalTree copies start/stop when built (before the
+        merge phase mutates interval coordinates), so the range test uses
+        the snapshot while the payload uses live values."""
+        min_overlap = 50.0
+        max_length_alignment_check = 1000
+        min_gap_length = int(self.rpl * 1.5)
+        overlaps = False
+        if gap.on_read_start >= gap.on_read_stop:
+            return False
+        if gap.length_on_read() <= min_gap_length:
+            return False
+        for (snap_start, snap_stop, node) in all_intervals:
+            if snap_stop < gap.on_read_start or snap_start > gap.on_read_stop:
+                continue
+            if node.is_processed:
+                continue
+            if node.length_on_read() < (int(4.5 * self.rpl) + gap.length_on_read()):
+                overlap = get_overlap_on_read(node, gap)
+                overlap_percent = overlap * 100.0 / gap.length_on_read()
+                better_score = True
+                if overlap_percent > min_overlap:
+                    if read is not None and gap.length_on_read() < max_length_alignment_check:
+                        iv = Interval()
+                        iv.on_read_start = gap.on_read_start
+                        iv.on_read_stop = gap.on_read_stop
+                        iv.on_ref_start = node.on_ref_start
+                        iv.on_ref_stop = node.on_ref_stop
+                        iv.is_reverse = node.is_reverse
+                        s1 = self.score_interval(iv, read) / iv.length_on_read()
+                        s2 = self.score_interval(gap, read) / gap.length_on_read()
+                        better_score = s1 > s2
+                overlaps = overlaps or (overlap_percent > min_overlap and better_score)
+        return overlaps
+
+    def gap_overlaps_between(self, first: Interval, second: Interval,
+                             all_intervals: List[Interval], read: Read) -> bool:
+        """gapOverlapsWithInterval(first, second, ...) (AlignmentBuffer.cpp:2662-2683)."""
+        gap = Interval()
+        gap.on_read_start = first.on_read_stop + 1
+        gap.on_read_stop = max(0, second.on_read_start - 1)
+        gap.on_ref_start = first.on_ref_stop
+        gap.on_ref_stop = second.on_ref_start
+        gap.is_reverse = first.is_reverse
+        return self._gap_overlaps(gap, all_intervals, read)
+
+    def gap_to_end_overlaps(self, second: Interval, read_length: int,
+                            all_intervals: List[Interval]) -> bool:
+        """gapToEndOverlapsWithInterval (AlignmentBuffer.cpp:2744-2755)."""
+        gap = Interval()
+        gap.on_read_start = min(read_length, second.on_read_stop + 1)
+        gap.on_read_stop = read_length
+        return self._gap_overlaps(gap, all_intervals, None)
+
+    def gap_from_start_overlaps(self, second: Interval,
+                                all_intervals: List[Interval]) -> bool:
+        """gapFromStartOverlapsWithInterval (AlignmentBuffer.cpp:2757-2768)."""
+        gap = Interval()
+        gap.on_read_start = 0
+        gap.on_read_stop = max(0, second.on_read_start - 1)
+        return self._gap_overlaps(gap, all_intervals, None)
+
+    def close_gap_on_read(self, first: Interval, second: Interval, read_length: int):
+        """closeGapOnRead (AlignmentBuffer.cpp:2770-2791)."""
+        if first.on_read_stop < second.on_read_stop:
+            distance = get_distance_on_read(first, second)
+            max_distance = int(0.25 * read_length)
+            if 0 < distance < max_distance:
+                self.extend_interval_stop(first, distance, read_length)
+                self.extend_interval_start(second, distance)
+
+    def extend_to_read_start(self, iv: Interval, read_length: int,
+                             all_intervals: List[Interval], read: Read):
+        """extendToReadStart (AlignmentBuffer.cpp:2793-2817)."""
+        max_extend = min(c_round(read_length * 0.25), iv.length_on_read())
+        extend = iv.on_read_start
+        if extend > 0:
+            if extend > self.rpl:
+                if extend <= max_extend:
+                    if not self.gap_from_start_overlaps(iv, all_intervals):
+                        self.extend_interval_start(iv, extend)
+            else:
+                self.extend_interval_start(iv, extend)
+
+    def extend_to_read_stop(self, iv: Interval, read_length: int,
+                            all_intervals: List[Interval], read: Read):
+        """extendToReadStop (AlignmentBuffer.cpp:2819-2843).
+
+        NOTE: the reference's short-extend branch calls extendIntervalStart —
+        preserved (it looks like an upstream copy/paste quirk but it is the
+        shipped behavior)."""
+        max_extend = min(c_round(read_length * 0.25), iv.length_on_read())
+        extend = read_length - iv.on_read_stop
+        if extend > 0:
+            if extend > self.rpl:
+                if extend <= max_extend:
+                    if not self.gap_to_end_overlaps(iv, read_length, all_intervals):
+                        self.extend_interval_stop(iv, extend, read_length)
+            else:
+                self.extend_interval_start(iv, extend)
+
+    # ------------------------------------------------------------------
+    # alignment of one interval (+ SV machinery)
+    # ------------------------------------------------------------------
+
+    def estimate_corridor(self, iv: Interval) -> int:
+        """estimateCorridor (AlignmentBuffer.cpp:1454-1467)."""
+        on_read = iv.on_read_stop - iv.on_read_start
+        on_ref = iv.on_ref_stop - iv.on_ref_start
+        diff = on_read - on_ref
+        corridor_from_diff = int(abs(diff) * f32(2.1))
+        corridor_from_length = int(abs(on_read) * f32(0.20))
+        return min(8192, max(corridor_from_diff, corridor_from_length))
+
+    def align_interval(self, read: Read, iv: Interval, read_seq: Optional[bytes],
+                       realign: bool, full_alignment: bool) -> Optional[Align]:
+        """alignInterval (AlignmentBuffer.cpp:1469-1513)."""
+        if read_seq is None:
+            return None
+        min_read_seq_length = 10
+        if (abs(iv.on_read_start - iv.on_read_stop) == 0
+                or abs(iv.on_ref_start - iv.on_ref_stop) == 0
+                or len(read_seq) < min_read_seq_length):
+            return None
+        corridor = self.estimate_corridor(iv)
+        if iv.is_reverse:
+            qend = iv.on_read_start
+            qstart = read.length - iv.on_read_stop
+        else:
+            qstart = iv.on_read_start
+            qend = read.length - iv.on_read_stop
+        ref_window = self.extract_ref_window(iv.on_ref_start, iv.on_ref_stop)
+        if ref_window is None:
+            return None
+        return compute_alignment(iv, corridor, read_seq, qstart, qend,
+                                 read.length, ref_window, self.acfg,
+                                 realign=realign, full_alignment=full_alignment,
+                                 short_read=False, read_part_length=self.rpl)
+
+    def check_for_sv(self, align: Align, iv: Interval, read_part_seq: bytes,
+                     inv_mid_ref: int, inv_mid_read: int, inversion_length: int,
+                     read: Read) -> int:
+        """checkForSV (AlignmentBuffer.cpp:1158-1265)."""
+        read_check_length = 50
+        ref_check_length = 250
+        if inversion_length <= 10:
+            return SV_NONE
+        check_loc = (iv.on_ref_start + align.position_offset + inv_mid_ref
+                     - ref_check_length - inversion_length // 2)
+        ref_seq_length = inversion_length + 2 * ref_check_length
+        ref_seq = self.ref.decode_window(check_loc, ref_seq_length)
+        if ref_seq is None:
+            ref_seq = b""
+        full_len = len(read_part_seq)
+        read_seq = b""
+        if read_check_length <= inv_mid_read and (inv_mid_read + read_check_length) < full_len:
+            read_seq = read_part_seq[inv_mid_read - read_check_length:
+                                     inv_mid_read + read_check_length]
+        if len(read_seq) == 0:
+            return SV_NONE
+        rev_read = reverse_complement(read_seq)
+        score_fwd = score_pair_numpy(ref_seq, read_seq)
+        score_rev = score_pair_numpy(ref_seq, rev_read)
+        min_score = 1.0 * read_check_length / 4.0
+        ratio = (score_rev / score_fwd) if score_fwd != 0 else float("inf")
+        if score_fwd == 0 and score_rev == 0:
+            ratio = float("nan")
+        if ratio > self.cfg.inv_score_ratio and score_rev > min_score:
+            return SV_INVERSION
+        if score_rev < min_score and score_fwd < min_score and self.cfg.low_quality_split:
+            return SV_TRANSLOCATION
+        return SV_NONE
+
+    def detect_misalignment(self, align: Align, aligned_iv: Interval,
+                            read_part_seq: bytes, read: Read):
+        """detectMisalignment (AlignmentBuffer.cpp:1267-1452).
+
+        Returns (sv_type, left_of_inv, right_of_inv)."""
+        max_check_count = max(1, int((read.length / 1000.0) / 2.0))
+        max_distance = 20
+        distance = max_distance
+        start_inv = stop_inv = -1
+        start_inv_read = stop_inv_read = -1
+        check_count = 0
+        best_result = SV_NONE
+        best_mid_ref = 0
+        best_mid_read = 0
+
+        nmp = align.nm_per_position
+        n_rows = align.alignment_length
+        for i in range(n_rows):
+            if i < len(nmp):
+                read_p, ref_p, nm_count = int(nmp[i, 0]), int(nmp[i, 1]), int(nmp[i, 2])
+            else:
+                read_p = ref_p = nm_count = 0
+            nm = (32 - nm_count) / 32.0
+            is_inv = 0.0 < nm < 0.75
+            if start_inv == -1:
+                if is_inv:
+                    start_inv = stop_inv = ref_p
+                    start_inv_read = stop_inv_read = read_p
+            else:
+                if is_inv:
+                    stop_inv = ref_p
+                    stop_inv_read = read_p
+                    distance = max_distance
+                else:
+                    if distance == 0:
+                        mid_ref = (start_inv + stop_inv) // 2
+                        mid_read = (start_inv_read + stop_inv_read) // 2
+                        inv_len = abs(stop_inv - start_inv)
+                        check_count += 1
+                        result = self.check_for_sv(align, aligned_iv, read_part_seq,
+                                                   mid_ref, mid_read, inv_len, read)
+                        if best_result == SV_NONE or result == SV_INVERSION:
+                            best_result = result
+                            best_mid_ref = mid_ref
+                            best_mid_read = mid_read
+                        start_inv = stop_inv = -1
+                        start_inv_read = stop_inv_read = -1
+                        distance = max_distance
+                    else:
+                        distance -= 1
+
+        if check_count > max_check_count:
+            return SV_NONE, None, None
+        if best_result == SV_NONE:
+            return SV_NONE, None, None
+
+        left = Interval()
+        right = Interval()
+        if aligned_iv.is_reverse:
+            additional_qstart = align.qstart - align.first_read_pos
+            left.on_read_stop = read.length - align.qstart
+            left.on_read_start = read.length - (additional_qstart + best_mid_read)
+            left.on_ref_start = aligned_iv.on_ref_start + align.position_offset + align.first_ref_pos
+            left.on_ref_stop = aligned_iv.on_ref_start + align.position_offset + best_mid_ref
+            left.is_reverse = aligned_iv.is_reverse
+            right.on_read_start = read.length - (align.last_read_pos + additional_qstart)
+            right.on_read_stop = read.length - (best_mid_read + additional_qstart)
+            right.on_ref_start = aligned_iv.on_ref_start + align.position_offset + best_mid_ref
+            right.on_ref_stop = aligned_iv.on_ref_start + align.position_offset + align.last_ref_pos
+            right.is_reverse = aligned_iv.is_reverse
+        else:
+            left.on_read_start = aligned_iv.on_read_start + align.first_read_pos
+            left.on_read_stop = aligned_iv.on_read_start + best_mid_read
+            left.on_ref_start = aligned_iv.on_ref_start + align.position_offset + align.first_ref_pos
+            left.on_ref_stop = aligned_iv.on_ref_start + align.position_offset + best_mid_ref
+            left.is_reverse = aligned_iv.is_reverse
+            right.on_read_start = aligned_iv.on_read_start + best_mid_read
+            right.on_read_stop = aligned_iv.on_read_start + align.last_read_pos
+            right.on_ref_start = aligned_iv.on_ref_start + align.position_offset + best_mid_ref
+            right.on_ref_stop = aligned_iv.on_ref_start + align.position_offset + align.last_ref_pos
+            right.is_reverse = aligned_iv.is_reverse
+        return best_result, left, right
+
+    def realign_sv(self, iv: Interval, left_of_inv: Interval,
+                   right_of_inv: Interval, read: Read, records: List[AlignmentRecord],
+                   mq: int) -> int:
+        """realign (AlignmentBuffer.cpp:1551-1776). Appends records on success."""
+        read_seq_len = left_of_inv.on_read_stop - left_of_inv.on_read_start
+        align_left = self.align_interval(
+            read, left_of_inv,
+            self.extract_read_seq(read, left_of_inv.on_read_start, read_seq_len,
+                                  left_of_inv.is_reverse),
+            realign=True, full_alignment=False)
+        if align_left is None or align_left.score <= 0.0:
+            return SV_NONE
+        align_left.mq = mq
+        loc_left = left_of_inv.on_ref_start + align_left.position_offset
+
+        inv = Interval()
+        inv.on_read_start = read.length - align_left.qend
+        inv.on_ref_start = loc_left + align_left.last_ref_pos
+        inv.is_reverse = not left_of_inv.is_reverse
+
+        read_seq_len = right_of_inv.on_read_stop - right_of_inv.on_read_start
+        align_right = self.align_interval(
+            read, right_of_inv,
+            self.extract_read_seq(read, right_of_inv.on_read_start, read_seq_len,
+                                  right_of_inv.is_reverse),
+            realign=True, full_alignment=False)
+        if align_right is None or align_right.score <= 0.0:
+            return SV_NONE
+        align_right.mq = mq
+        loc_right = right_of_inv.on_ref_start + align_right.position_offset
+        inv.on_read_stop = align_right.qstart
+        inv.on_ref_stop = loc_right + align_right.first_ref_pos
+
+        if not inv.is_reverse:
+            tmp = read.length - inv.on_read_start
+            inv.on_read_start = read.length - inv.on_read_stop
+            inv.on_read_stop = tmp
+
+        inversion_length = abs(inv.on_ref_stop - inv.on_ref_start)
+        sv_result = SV_NONE
+        align_inv = None
+        loc_inv = 0
+        if inversion_length > self.cfg.min_inversion_length:
+            read_seq_len = inv.on_read_stop - inv.on_read_start
+            align_inv = self.align_interval(
+                read, inv,
+                self.extract_read_seq(read, inv.on_read_start, read_seq_len,
+                                      inv.is_reverse),
+                realign=True, full_alignment=True)
+            align_inv_rev = self.align_interval(
+                read, inv,
+                self.extract_read_seq(read, inv.on_read_start, read_seq_len,
+                                      inv.is_reverse, rev_comp=True),
+                realign=True, full_alignment=True)
+            if (align_inv is not None and align_inv.score > 0.0
+                    and align_inv.aligned_read_bp(read.length) > self.cfg.min_inversion_length
+                    and (align_inv_rev is None or align_inv_rev.score < align_inv.score)):
+                align_inv.mq = mq
+                loc_inv = inv.on_ref_start + align_inv.position_offset
+                sv_result = SV_INVERSION
+            else:
+                sv_result = SV_TRANSLOCATION
+        else:
+            sv_result = SV_NONE
+
+        if sv_result == SV_NONE:
+            return SV_NONE
+
+        records.append(AlignmentRecord(align_left, loc_left, left_of_inv.is_reverse,
+                                       align_left.score))
+        align_left.mapped_interval = _interval_from_align(align_left, loc_left,
+                                                          left_of_inv.is_reverse,
+                                                          len(records) - 1, read.length)
+        records.append(AlignmentRecord(align_right, loc_right, right_of_inv.is_reverse,
+                                       align_right.score))
+        align_right.mapped_interval = _interval_from_align(align_right, loc_right,
+                                                           right_of_inv.is_reverse,
+                                                           len(records) - 1, read.length)
+        if sv_result == SV_INVERSION and align_inv is not None:
+            records.append(AlignmentRecord(align_inv, loc_inv, inv.is_reverse,
+                                           align_inv.score))
+            align_inv.mapped_interval = _interval_from_align(align_inv, loc_inv,
+                                                             inv.is_reverse,
+                                                             len(records) - 1, read.length)
+        return sv_result
+
+    def compute_mapping_quality(self, align: Align, read_length: int,
+                                tree: List[Tuple[int, int, int]]) -> int:
+        """computeMappingQuality (AlignmentBuffer.cpp:1877-1926)."""
+        q_lo, q_hi = align.qstart, read_length - align.qend
+        mq_sum = 0
+        mq_count = 0
+        for (start, stop, value) in tree:
+            if start <= q_hi and stop >= q_lo:
+                mq_sum += value
+                mq_count += 1
+        if mq_count == 0:
+            return 0
+        return int(mq_sum * 1.0 / mq_count)
+
+    def align_single_or_multiple(self, read: Read, iv: Interval,
+                                 records: List[AlignmentRecord],
+                                 tree: List[Tuple[int, int, int]]):
+        """alignSingleOrMultipleIntervals (AlignmentBuffer.cpp:1790-1875)."""
+        read_seq_len = iv.on_read_stop - iv.on_read_start
+        read_part_seq = self.extract_read_seq(read, iv.on_read_start, read_seq_len,
+                                              iv.is_reverse)
+        if read_part_seq is None:
+            return
+        align = self.align_interval(read, iv, read_part_seq, realign=False,
+                                    full_alignment=False)
+        if align is None or align.score <= 0.0:
+            return
+        sv_type = SV_NONE
+        if self.cfg.small_inversion_detection or self.cfg.low_quality_split:
+            sv_type, left, right = self.detect_misalignment(align, iv,
+                                                            read_part_seq, read)
+            if sv_type != SV_NONE:
+                mq = self.compute_mapping_quality(align, read.length, tree)
+                sv_type = self.realign_sv(iv, left, right, read, records, mq)
+        if sv_type == SV_NONE:
+            if _satisfies_constraints(align, read.length, self.cfg):
+                align.mq = self.compute_mapping_quality(align, read.length, tree)
+                loc = iv.on_ref_start + align.position_offset
+                records.append(AlignmentRecord(align, loc, iv.is_reverse, align.score))
+                align.mapped_interval = _interval_from_align(
+                    align, loc, iv.is_reverse, len(records) - 1, read.length)
+
+    # ------------------------------------------------------------------
+    # the main flow
+    # ------------------------------------------------------------------
+
+    def process(self, read: Read, subreads: List[ScoredSubread]
+                ) -> Tuple[bool, List[AlignmentRecord]]:
+        """processLongReadLIS (AlignmentBuffer.cpp:2845-3464)."""
+        cfg = self.cfg
+        rpl = self.rpl
+        max_num_scores = 1000
+
+        tree: List[Tuple[int, int, int]] = []
+        anchors: List[Anchor] = []
+        for sub in subreads:
+            n = len(sub.scores)
+            if n >= max_num_scores or n == 0:
+                continue
+            tree.append((sub.on_read, sub.on_read + rpl, sub.mq))
+            unique = n == 1
+            for k in range(n):
+                anchors.append(Anchor(sub.on_read, int(sub.locations[k]),
+                                      float(sub.scores[k]), bool(sub.reverse[k]),
+                                      unique))
+
+        max_segment_count = max(10, cfg.max_segments_for(read.length) * 2)
+        intervals = get_intervals_from_anchors(anchors, read.length,
+                                               max_segment_count,
+                                               cfg.max_clis_runs, rpl)
+        intervals.sort(key=lambda iv: iv.on_read_start)
+
+        # --- segment building (AlignmentBuffer.cpp:3039-3096) -------------
+        segments: List[List[Interval]] = []
+        # the reference's intervalsTree: (snapshot start, snapshot stop, iv)
+        all_intervals: List = []
+        for iv in intervals:
+            processed = False
+            for seg in segments:
+                for piv in seg:
+                    if is_contained(iv, piv):
+                        processed = True
+                        break
+                    if is_compatible(iv, piv):
+                        if len(seg) < 1000:
+                            seg.append(iv)
+                            all_intervals.append((iv.on_read_start, iv.on_read_stop, iv))
+                            processed = True
+                            break
+                if processed:
+                    break
+            if not processed:
+                segments.append([iv])
+                all_intervals.append((iv.on_read_start, iv.on_read_stop, iv))
+
+        # --- segment merge / SV split (AlignmentBuffer.cpp:3114-3258) -----
+        final: List[Interval] = []
+        for seg in segments:
+            seg.sort(key=lambda iv: iv.on_read_start)
+            last = seg[0]
+            self.extend_interval_start(last, 2 * rpl)
+            is_first = True
+            for j in range(1, len(seg)):
+                cur = seg[j]
+                if is_same_direction(cur, last):
+                    dup, dup_length = is_duplication(cur, last)
+                    if not dup:
+                        if self.gap_overlaps_between(last, cur, all_intervals, read):
+                            # possible translocation
+                            if is_first:
+                                self.extend_to_read_start(last, read.length,
+                                                          all_intervals, read)
+                                is_first = False
+                            self.extend_interval_stop(last, 2 * rpl, read.length)
+                            self.extend_interval_start(cur, 2 * rpl)
+                            final.append(last)
+                            last = cur
+                        else:
+                            corridor_size = min(4096, min(cur.length_on_read(),
+                                                          last.length_on_read()))
+                            if (can_span_deletion_insertion(cur, last, corridor_size)
+                                    and not self.spans_chromosome_border(cur, last)):
+                                last = merge_intervals(last, cur)
+                                cur.is_processed = True
+                            else:
+                                if is_first:
+                                    self.extend_to_read_start(last, read.length,
+                                                              all_intervals, read)
+                                    is_first = False
+                                self.close_gap_on_read(last, cur, read.length)
+                                self.extend_interval_stop(last, 2 * rpl, read.length)
+                                self.extend_interval_start(cur, 2 * rpl)
+                                final.append(last)
+                                last = cur
+                    else:
+                        # duplication
+                        if is_first:
+                            self.extend_to_read_start(last, read.length,
+                                                      all_intervals, read)
+                            is_first = False
+                        self.close_gap_on_read(last, cur, read.length)
+                        max_extend = min(max(cur.on_read_start - last.on_read_stop
+                                             + int(dup_length), 0), 2 * rpl)
+                        self.extend_interval_stop(last, max_extend, read.length)
+                        self.extend_interval_start(cur, max_extend)
+                        final.append(last)
+                        last = cur
+                else:
+                    # inversion
+                    if is_first:
+                        self.extend_to_read_start(last, read.length,
+                                                  all_intervals, read)
+                        is_first = False
+                    self.close_gap_on_read(last, cur, read.length)
+                    self.extend_interval_stop(last, 2 * rpl, read.length)
+                    self.extend_interval_start(cur, 2 * rpl)
+                    final.append(last)
+                    last = cur
+            if is_first:
+                self.extend_to_read_start(last, read.length, all_intervals, read)
+                is_first = False
+            self.extend_interval_stop(last, 2 * rpl, read.length)
+            self.extend_to_read_stop(last, read.length, all_intervals, read)
+            final.append(last)
+
+        # --- close gaps between neighbouring final intervals (3282-3302) --
+        final.sort(key=lambda iv: iv.on_read_start)
+        if final:
+            last = final[0]
+            for i in range(1, len(final)):
+                cur = final[i]
+                if len(cur.anchors) > 1:
+                    if (not is_compatible(last, cur)
+                            and get_distance_on_read(last, cur) > 0
+                            and (len(cur.anchors) > 2 or len(last.anchors) > 2)):
+                        self.close_gap_on_read(last, cur, read.length)
+                if len(cur.anchors) > 1 or len(last.anchors) == 1:
+                    last = cur
+
+        # --- coverage check (3311-3338) ------------------------------------
+        final.sort(key=lambda iv: -iv.score)
+        read_bp_covered = sum(iv.length_on_read() for iv in final)
+        aligned = read_bp_covered * 1.0 / read.length
+        mapped = (aligned > cfg.min_residues if cfg.min_residues < 1.0
+                  else read_bp_covered > cfg.min_residues)
+        if not mapped:
+            return False, []
+
+        # --- align final intervals (3343-3416) ------------------------------
+        records: List[AlignmentRecord] = []
+        for iv in final:
+            # trim vs already-aligned intervals
+            for rec in records:
+                aligned_iv = rec.align.mapped_interval
+                overlap = get_overlap_on_read(iv, aligned_iv)
+                if 0 < overlap < iv.length_on_read() * 0.95:
+                    if iv.on_read_start < aligned_iv.on_read_start:
+                        self.shorten_interval_end(iv, overlap)
+                    else:
+                        self.shorten_interval_start(iv, overlap)
+            if iv.on_ref_start > iv.on_ref_stop:
+                iv.on_ref_start, iv.on_ref_stop = iv.on_ref_stop, iv.on_ref_start
+            self.align_single_or_multiple(read, iv, records, tree)
+
+        if not records:
+            return False, []
+
+        mapped = self.reconcile_read(read, records)
+        if mapped:
+            _sort_read(records)
+        return mapped, records
+
+    # ------------------------------------------------------------------
+
+    def reconcile_read(self, read: Read, records: List[AlignmentRecord]) -> bool:
+        """reconcileRead (AlignmentBuffer.cpp:2089-2309)."""
+        cfg = self.cfg
+        segs: List[Interval] = []
+        for i, rec in enumerate(records):
+            seg = _interval_from_align(rec.align, rec.location, rec.reverse, i,
+                                       read.length)
+            segs.append(seg)
+
+        best_segments: List[int] = []
+        _best_segment_combination(read.length, segs, best_segments)
+
+        top_score = 0.0
+        top_idx = 0
+        aligned_bp_sum = 0
+        for idx in best_segments:
+            segs[idx].is_processed = True
+            aligned_bp_sum += segs[idx].on_read_stop - segs[idx].on_read_start
+            if segs[idx].score > top_score:
+                top_idx = idx
+                top_score = segs[idx].score
+        if best_segments:
+            records[segs[top_idx].id].align.primary = True
+        aligned = aligned_bp_sum * 1.0 / read.length
+        mapped = (aligned > cfg.min_residues if cfg.min_residues < 1.0
+                  else aligned_bp_sum > cfg.min_residues)
+
+        # filter short isolated intervals (2228-2252)
+        min_on_read_length = 1000
+        for a in segs:
+            if not a.is_processed:
+                continue
+            thresh = min(min_on_read_length, int(read.length * 0.5))
+            keep = a.length_on_read() > thresh
+            for b in segs:
+                if keep:
+                    break
+                if b.is_processed:
+                    distance = get_distance_on_read(a, b)
+                    if b.on_ref_start < a.on_ref_start:
+                        distance_ref = max(0, a.on_ref_start - b.on_ref_stop)
+                    else:
+                        distance_ref = max(0, b.on_ref_start - a.on_ref_stop)
+                    max_distance = a.length_on_read()
+                    keep = ((distance < max_distance or distance_ref < max_distance)
+                            and b.length_on_read() > thresh)
+            if not keep:
+                a.is_processed = False
+
+        for seg in segs:
+            if not seg.is_processed:
+                records[seg.id].align.skip = True
+
+        segment_count = 0
+        for i in range(len(records)):
+            if not records[segs[i].id].align.skip:
+                if aligned > 0.95:
+                    records[segs[i].id].align.sv_type |= 0x2
+                segment_count += 1
+
+        max_splits = cfg.max_segments_for(read.length)
+        return mapped and (segment_count - 1) <= max_splits
+
+
+def _interval_from_align(align: Align, location: int, reverse: bool, idx: int,
+                         read_length: int) -> Interval:
+    """getIntervalFromAlign (AlignmentBuffer.cpp:2066-2087)."""
+    diff_on_ref = align.last_ref_pos - align.first_ref_pos
+    seg = Interval()
+    seg.id = idx
+    seg.on_ref_start = location
+    seg.on_ref_stop = location + diff_on_ref
+    seg.is_reverse = reverse
+    seg.is_processed = False
+    seg.score = align.score
+    if reverse:
+        seg.on_read_start = align.qend
+        seg.on_read_stop = read_length - align.qstart - 1
+    else:
+        seg.on_read_start = align.qstart
+        seg.on_read_stop = read_length - align.qend - 1
+    return seg
+
+
+def _satisfies_constraints(align: Align, read_length: int, cfg: Config) -> bool:
+    """satisfiesConstraints (AlignmentBuffer.cpp:1778-1787).
+
+    NOTE: minResidues is the hardcoded 50.0f of the reference, NOT the
+    config value (the `if (minResidues <= 1.0f)` rescale never fires)."""
+    min_residues = 50.0
+    return (align.score > 0.0 and align.identity >= cfg.min_identity
+            and float(read_length - align.qstart - align.qend) >= min_residues)
+
+
+def _best_segment_combination(max_length: int, segs: List[Interval],
+                              out: List[int]) -> float:
+    """getBestSegmentCombination (AlignmentBuffer.cpp:2005-2064)."""
+    max_overlap = 50
+    best_score = [0.0] * max_length
+    last_best = [0] * max_length
+    last_fragment = [-1] * max_length
+    for i in range(1, max_length):
+        best_score[i] = best_score[i - 1]
+        last_fragment[i] = last_fragment[i - 1]
+        last_best[i] = last_best[i - 1]
+        for j, seg in enumerate(segs):
+            if (not seg.is_processed and seg.on_read_stop <= i
+                    and abs(seg.on_read_stop - seg.on_read_start) > max_overlap):
+                start = min(max_length - 1, seg.on_read_start + max_overlap)
+                current = float(f32(f32(seg.score) + f32(best_score[start])))
+                if current > best_score[i]:
+                    best_score[i] = current
+                    last_fragment[i] = j
+                    last_best[i] = start
+    i = max_length - 1
+    result = best_score[i]
+    while last_fragment[i] > -1:
+        out.append(last_fragment[i])
+        i = last_best[i]
+    return result
+
+
+def _sort_read(records: List[AlignmentRecord]):
+    """sortRead (AlignmentBuffer.cpp:2311-2332): swap best score to front."""
+    highest = 0.0
+    hi_idx = 0
+    for i, rec in enumerate(records):
+        if rec.align.score > highest:
+            highest = rec.align.score
+            hi_idx = i
+    if hi_idx != 0:
+        records[0], records[hi_idx] = records[hi_idx], records[0]

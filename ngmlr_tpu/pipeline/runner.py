@@ -1,0 +1,137 @@
+"""End-to-end mapping pipeline.
+
+Orchestrates: reference + index load → read intake → candidate search →
+batched candidate scoring → long-read assembly / short-read alignment →
+SAM output.
+
+Batching model (TPU-first redesign of the reference's per-thread loop,
+NGM.cpp:190-246 + CS.cpp:412-503): the host builds large batches of reads,
+all compute-heavy stages (candidate scoring, banded alignments) run as
+batched kernels, and records are emitted in the reference's order — within
+each intake group of 10 reads (cBatchSize, CS.cpp:34), short reads first in
+input order, then long reads in input order (short reads are written
+immediately by SendToBuffer while long-read groups complete at the score
+flush; CS.cpp:276-318, ScoreBuffer.cpp:132-162).
+"""
+
+import sys
+import time
+from typing import IO, List, Optional
+
+from ..config import Config
+from ..io.reads import Read, read_batches
+from ..io.reference import ReferenceGenome
+from ..index.kmer_index import KmerIndex
+from ..seed.candidates import search_batch
+from ..align.aligner import AlignerConfig
+from ..out.sam import SamWriter
+from .longread import LongReadProcessor
+from .score_stage import score_read_batch
+from .shortread import process_short_read
+
+INTAKE_GROUP = 10  # the reference's cBatchSize (CS.cpp:34)
+
+
+class Pipeline:
+    def __init__(self, cfg: Config, reference_path: str,
+                 use_cache: bool = True):
+        self.cfg = cfg.normalized()
+        self.ref = ReferenceGenome.from_fasta(reference_path,
+                                              use_cache=use_cache,
+                                              skip_save=cfg.skip_save)
+        self.index = KmerIndex.load_or_build(
+            self.ref, reference_path, k=cfg.kmer_length,
+            kmer_skip=cfg.kmer_skip, bin_size=cfg.bin_size,
+            max_prefix_freq=cfg.max_prefix_freq,
+            use_cache=use_cache, skip_save=cfg.skip_save)
+        self.processor = LongReadProcessor(self.ref, self.cfg)
+        self.acfg = self.processor.acfg
+        self.stats = {"reads": 0, "mapped": 0, "unmapped": 0}
+
+    def run(self, query_path: str, out: IO[bytes], progress: bool = False):
+        writer = SamWriter(self.ref, self.cfg, out)
+        writer.write_prolog()
+        t0 = time.time()
+        for batch in read_batches(query_path, self.cfg.batch_reads):
+            self._run_batch(batch, writer)
+            if progress:
+                el = time.time() - t0
+                sys.stderr.write(
+                    f"Processed: {self.stats['reads']}, R/S: "
+                    f"{self.stats['reads'] / max(el, 1e-9):.2f}, "
+                    f"mapped: {self.stats['mapped']}\n")
+        return self.stats
+
+    # ------------------------------------------------------------------
+
+    def _run_batch(self, batch: List[Read], writer: SamWriter):
+        cfg = self.cfg
+        rpl = cfg.read_part_length
+
+        # --- candidate search for every subread / short read at once ------
+        seqs: List[bytes] = []
+        owners: List[tuple] = []       # (read_idx, subread_idx or -1)
+        for ri, read in enumerate(batch):
+            if read.empty:
+                continue
+            n = read.subread_count(rpl)
+            if n == 0:
+                seqs.append(read.seq)
+                owners.append((ri, -1))
+            else:
+                for j in range(n):
+                    seqs.append(read.subread_seq(j, rpl))
+                    owners.append((ri, j))
+
+        cands = search_batch(self.index, seqs, cfg.sensitivity,
+                             cfg.min_kmer_hits)
+        per_read_long = {}
+        per_read_short = {}
+        for (ri, j), cand in zip(owners, cands):
+            if j < 0:
+                per_read_short[ri] = cand
+            else:
+                per_read_long.setdefault(ri, {})[j] = cand
+
+        # --- batched scoring for long reads --------------------------------
+        long_ris = sorted(per_read_long.keys())
+        long_reads = [batch[ri] for ri in long_ris]
+        cand_lists = [[per_read_long[ri][j]
+                       for j in range(batch[ri].subread_count(rpl))]
+                      for ri in long_ris]
+        scored = score_read_batch(self.ref, cfg, long_reads, cand_lists)
+        scored_by_ri = dict(zip(long_ris, scored))
+
+        # --- process + emit in reference order -----------------------------
+        for g0 in range(0, len(batch), INTAKE_GROUP):
+            group = list(range(g0, min(g0 + INTAKE_GROUP, len(batch))))
+            # short reads first (written immediately upstream)
+            for ri in group:
+                read = batch[ri]
+                if read.empty:
+                    continue
+                if ri in per_read_short:
+                    cand = per_read_short[ri]
+                    if len(cand.locations) == 0:
+                        writer.write_read(read, [], False)
+                        self._count(False)
+                    else:
+                        mapped, records, _ = process_short_read(
+                            self.ref, cfg, read, cand, self.acfg)
+                        writer.write_read(read, records, mapped)
+                        self._count(mapped and len(records) > 0)
+            # then long reads
+            for ri in group:
+                read = batch[ri]
+                if read.empty or ri not in scored_by_ri:
+                    continue
+                mapped, records = self.processor.process(read, scored_by_ri[ri])
+                writer.write_read(read, records, mapped)
+                self._count(mapped and any(not r.align.skip for r in records))
+
+    def _count(self, mapped: bool):
+        self.stats["reads"] += 1
+        if mapped:
+            self.stats["mapped"] += 1
+        else:
+            self.stats["unmapped"] += 1

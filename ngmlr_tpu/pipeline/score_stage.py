@@ -1,0 +1,104 @@
+"""Candidate scoring stage (the reference's ScoreBuffer).
+
+Rebuild of ScoreBuffer (/root/reference/src/ScoreBuffer.cpp) as one batched
+kernel launch per read batch instead of 1024-pair buffers per thread:
+
+  * per (subread, candidate): reference window = 306 decoded bases centred
+    20 left of the candidate location (refMaxLen = ((266+40)|1)+1, window
+    start loc - corridor/2; ScoreBuffer.h:65-76, ScoreBuffer.cpp:110-116),
+  * query = subread sequence, reverse-complemented for reverse candidates,
+  * score = ungapped local segment kernel (see ngmlr_tpu.ops.ungapped),
+  * per subread: sort candidates by score (descending), subread MQ =
+    ceil(60*(best-second)/best) (ScoreBuffer.cpp:33-45).
+"""
+
+from typing import List, Optional
+
+import math
+import numpy as np
+
+from ..config import Config
+from ..io.reads import Read
+from ..io.reference import ReferenceGenome
+from ..io.fastx import reverse_complement
+from ..ops.ungapped import score_batch
+from ..seed.candidates import SubreadCandidates
+from .longread import ScoredSubread
+
+MAX_MQ = 60.0
+
+
+def compute_mq(best: float, second: Optional[float]) -> int:
+    """ScoreBuffer::computeMQ (ScoreBuffer.cpp:33-45)."""
+    if second is None:
+        return int(MAX_MQ)
+    if best <= 0:
+        return 0  # reference divides by zero here; rare corner, see docstring
+    return int(math.ceil(MAX_MQ * (best - second) / best))
+
+
+def score_read_batch(ref: ReferenceGenome, cfg: Config,
+                     reads: List[Read],
+                     candidates_per_read: List[List[SubreadCandidates]]
+                     ) -> List[List[ScoredSubread]]:
+    """Scores all subread candidates of a batch of long reads at once.
+
+    candidates_per_read[i][j] = candidates of subread j of read i.
+    Returns the ScoredSubread lists in matching structure.
+    """
+    rpl = cfg.read_part_length
+    corridor = cfg.read_part_corridor
+    qry_max_len = rpl + 10
+    ref_max_len = ((qry_max_len + corridor) | 1) + 1   # ScoreBuffer.h:72
+
+    refs: List[bytes] = []
+    qrys: List[bytes] = []
+    owners: List[tuple] = []
+
+    for ri, (read, subs) in enumerate(zip(reads, candidates_per_read)):
+        n_parts = read.subread_count(rpl)
+        for j, cand in enumerate(subs):
+            if len(cand.locations) == 0:
+                continue
+            sub_seq = read.subread_seq(j, rpl)
+            sub_rev = reverse_complement(sub_seq)
+            for k in range(len(cand.locations)):
+                loc = int(cand.locations[k])
+                window = ref.decode_window(loc - (corridor >> 1), ref_max_len)
+                if window is None:
+                    window = b"N" * ref_max_len
+                refs.append(window)
+                qrys.append(sub_rev if cand.reverse[k] else sub_seq)
+                owners.append((ri, j, k))
+
+    scores = score_batch(refs, qrys) if refs else np.zeros(0, np.float32)
+
+    # scatter back
+    score_map = {}
+    for (owner, s) in zip(owners, scores):
+        score_map.setdefault(owner[:2], {})[owner[2]] = float(s)
+
+    out: List[List[ScoredSubread]] = []
+    for ri, (read, subs) in enumerate(zip(reads, candidates_per_read)):
+        scored: List[ScoredSubread] = []
+        for j, cand in enumerate(subs):
+            n = len(cand.locations)
+            if n == 0:
+                scored.append(ScoredSubread(j * rpl, cand.locations,
+                                            cand.reverse,
+                                            np.zeros(0, np.float32), 0))
+                continue
+            svals = np.asarray([score_map[(ri, j)][k] for k in range(n)],
+                               dtype=np.float32)
+            order = np.argsort(-svals, kind="stable")
+            svals = svals[order]
+            locs = cand.locations[order]
+            revs = cand.reverse[order]
+            # NOTE: the CS zero-hit rule (>90% k-mers without hits => MQ 0,
+            # CS.cpp:221-225) is dead upstream: computeMQ overwrites
+            # mappingQlty unconditionally after scoring (ScoreBuffer.cpp:38-45).
+            mq = compute_mq(float(svals[0]),
+                            float(svals[1]) if n > 1 else None)
+            scored.append(ScoredSubread(j * rpl, locs, revs, svals, mq))
+        out.append(scored)
+    return out
