@@ -199,8 +199,13 @@ def run_batch(specs: List[BandSpec],
 
     buckets = {}
     for i, sp in enumerate(specs):
-        Tp = _round_up(max(sp.T, 8), 256)
-        L = _round_up(sp.L, 128)
+        # power-of-two padding caps the number of compiled kernel shapes
+        Tp = 256
+        while Tp < sp.T:
+            Tp *= 2
+        L = 128
+        while L < sp.L:
+            L *= 2
         buckets.setdefault((Tp, L), []).append(i)
 
     pvec = jnp.asarray(params, dtype=jnp.float32)
