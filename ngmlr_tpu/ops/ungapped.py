@@ -86,20 +86,31 @@ def score_batch_kernel(ref_codes: jnp.ndarray, qry_codes: jnp.ndarray,
     return best.astype(jnp.float32)
 
 
+def _round_pow2(x: int, lo: int) -> int:
+    v = lo
+    while v < x:
+        v *= 2
+    return v
+
+
 def score_batch(refs, qrys) -> np.ndarray:
-    """Score a python list of (ref bytes, qry bytes) with padding + guard."""
+    """Score a python list of (ref bytes, qry bytes) with padding + guard.
+
+    Shapes are padded to power-of-two buckets so repeated calls reuse the
+    compiled kernel."""
     assert len(refs) == len(qrys)
     n = len(refs)
     if n == 0:
         return np.zeros(0, dtype=np.float32)
-    maxr = max(len(r) for r in refs)
-    maxq = max(len(q) for q in qrys)
-    rc = np.full((n, maxr), 4, dtype=np.uint8)
-    qc = np.full((n, maxq), 4, dtype=np.uint8)
+    maxr = _round_pow2(max(len(r) for r in refs), 64)
+    maxq = _round_pow2(max(len(q) for q in qrys), 64)
+    npad = _round_pow2(n, 8)
+    rc = np.full((npad, maxr), 4, dtype=np.uint8)
+    qc = np.full((npad, maxq), 4, dtype=np.uint8)
     for i, (r, q) in enumerate(zip(refs, qrys)):
         rc[i, :len(r)] = nt_codes(r)
         qc[i, :len(q)] = nt_codes(q)
-    out = np.asarray(score_batch_kernel(jnp.asarray(rc), jnp.asarray(qc)))
+    out = np.asarray(score_batch_kernel(jnp.asarray(rc), jnp.asarray(qc)))[:n]
     # ssw maxSeqLen guard (StrippedSW.cpp:133-134)
     for i, (r, q) in enumerate(zip(refs, qrys)):
         if len(r) + 1 >= MAX_SEQ_LEN or len(q) + 1 >= MAX_SEQ_LEN:
