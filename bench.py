@@ -1,0 +1,115 @@
+"""Benchmark: end-to-end read mapping throughput on one chip.
+
+Generates a deterministic synthetic genome + PacBio-CLR-like reads (~15%
+error: 10% insertions, 4% deletions, 1% substitutions — the workload class
+of the reference's headline number), maps them end-to-end, and reports
+reads/s.
+
+Baseline: the reference maps ~3 Gbp of PacBio reads in ~90 min on a 10-core
+Opteron node (README "Introduction") ≈ 60 reads/s at ~8.9 kb mean read
+length (BASELINE.md). vs_baseline = our reads/s divided by that 60 r/s.
+
+Prints exactly one JSON line.
+"""
+
+import io
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+GENOME_MBP = float(os.environ.get("BENCH_GENOME_MBP", "2"))
+N_READS = int(os.environ.get("BENCH_READS", "48"))
+READ_LEN = int(os.environ.get("BENCH_READ_LEN", "9000"))
+BASELINE_RPS = 60.0
+
+
+def make_genome(rng, n):
+    return rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n)
+
+
+def mutate_pacbio(rng, seq):
+    """~15% error: 10% ins, 4% del, 1% sub."""
+    r = rng.random(len(seq))
+    ins = r < 0.10
+    dele = (r >= 0.10) & (r < 0.14)
+    sub = (r >= 0.14) & (r < 0.15)
+    out = []
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    rand_bases = rng.choice(bases, size=len(seq) + 16)
+    ri = 0
+    for i, c in enumerate(seq):
+        if dele[i]:
+            continue
+        if ins[i]:
+            out.append(rand_bases[ri]); ri = (ri + 1) % len(rand_bases)
+        if sub[i]:
+            out.append(rand_bases[ri]); ri = (ri + 1) % len(rand_bases)
+        else:
+            out.append(c)
+    return bytes(bytearray(out))
+
+
+def revcomp(s: bytes) -> bytes:
+    return s.translate(bytes.maketrans(b"ACGT", b"TGCA"))[::-1]
+
+
+def main():
+    from ngmlr_tpu.config import Config
+    from ngmlr_tpu.pipeline.runner import Pipeline
+
+    rng = np.random.default_rng(1234)
+    glen = int(GENOME_MBP * 1e6)
+    genome = make_genome(rng, glen)
+
+    tmpdir = tempfile.mkdtemp(prefix="ngmlr_bench_")
+    ref_path = os.path.join(tmpdir, "ref.fa")
+    with open(ref_path, "wb") as f:
+        f.write(b">bench_chr1\n")
+        g = genome.tobytes()
+        for i in range(0, len(g), 80):
+            f.write(g[i:i + 80] + b"\n")
+
+    reads_path = os.path.join(tmpdir, "reads.fa")
+    warmup_path = os.path.join(tmpdir, "warmup.fa")
+    with open(reads_path, "wb") as fr, open(warmup_path, "wb") as fw:
+        for i in range(N_READS + 4):
+            L = int(rng.integers(READ_LEN // 2, READ_LEN * 3 // 2))
+            pos = int(rng.integers(0, glen - L))
+            frag = genome[pos:pos + L].tobytes()
+            read = mutate_pacbio(rng, np.frombuffer(frag, dtype=np.uint8))
+            if rng.random() < 0.5:
+                read = revcomp(read)
+            target = fw if i < 4 else fr
+            target.write(b">read_%d_%d\n" % (i, pos))
+            for j in range(0, len(read), 80):
+                target.write(read[j:j + 80] + b"\n")
+
+    cfg = Config()
+    pipeline = Pipeline(cfg, ref_path, use_cache=True)
+
+    # warmup: trigger kernel compiles
+    pipeline.run(warmup_path, io.BytesIO())
+
+    t0 = time.time()
+    stats = pipeline.run(reads_path, io.BytesIO())
+    elapsed = time.time() - t0
+
+    rps = N_READS / elapsed
+    mapped_frac = stats["mapped"] / max(1, stats["reads"])
+    result = {
+        "metric": "reads_per_sec_per_chip",
+        "value": round(rps, 3),
+        "unit": f"reads/s ({READ_LEN}bp PacBio-like, {mapped_frac:.0%} mapped)",
+        "vs_baseline": round(rps / BASELINE_RPS, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -108,7 +108,12 @@ def align_banded(ref_window: bytes, qry: bytes, offsets: np.ndarray,
     if len(qry) == 0 or len(ref_window) == 0:
         return None
     spec = BandSpec(ref_window, qry, offsets, width).prepare()
-    res = run_batch([spec], params=params)[0]
+    from ..pipeline import batcher as _batcher
+    wb = _batcher.current()
+    if wb is not None:
+        res = wb.align(spec, params)
+    else:
+        res = run_batch([spec], params=params)[0]
     bt = backtrack(res, offsets, width, len(qry))
     if bt is None:
         return None

@@ -102,30 +102,56 @@ class Pipeline:
         scored = score_read_batch(self.ref, cfg, long_reads, cand_lists)
         scored_by_ri = dict(zip(long_ris, scored))
 
-        # --- process + emit in reference order -----------------------------
+        # --- process all reads with wave-batched alignments ---------------
+        from . import batcher as _batcher
+
+        def make_short_job(read, cand):
+            return lambda: process_short_read(self.ref, cfg, read, cand, self.acfg)
+
+        def make_long_job(read, scored):
+            return lambda: self.processor.process(read, scored)
+
+        jobs = []
+        job_key = {}
+        for ri, read in enumerate(batch):
+            if read.empty:
+                continue
+            if ri in per_read_short:
+                cand = per_read_short[ri]
+                if len(cand.locations) > 0:
+                    job_key[ri] = len(jobs)
+                    jobs.append(make_short_job(read, cand))
+            elif ri in scored_by_ri:
+                job_key[ri] = len(jobs)
+                jobs.append(make_long_job(read, scored_by_ri[ri]))
+
+        wb = _batcher.WaveBatcher()
+        _batcher.set_current(wb)
+        try:
+            outcomes = wb.map_jobs(jobs)
+        finally:
+            _batcher.set_current(None)
+
+        # --- emit in reference order (shorts first per intake group of 10,
+        #     then longs; NGM.cpp:190-246 + CS.cpp:276-318) ----------------
         for g0 in range(0, len(batch), INTAKE_GROUP):
             group = list(range(g0, min(g0 + INTAKE_GROUP, len(batch))))
-            # short reads first (written immediately upstream)
             for ri in group:
                 read = batch[ri]
-                if read.empty:
+                if read.empty or ri not in per_read_short:
                     continue
-                if ri in per_read_short:
-                    cand = per_read_short[ri]
-                    if len(cand.locations) == 0:
-                        writer.write_read(read, [], False)
-                        self._count(False)
-                    else:
-                        mapped, records, _ = process_short_read(
-                            self.ref, cfg, read, cand, self.acfg)
-                        writer.write_read(read, records, mapped)
-                        self._count(mapped and len(records) > 0)
-            # then long reads
+                if ri not in job_key:
+                    writer.write_read(read, [], False)
+                    self._count(False)
+                else:
+                    mapped, records, _ = outcomes[job_key[ri]]
+                    writer.write_read(read, records, mapped)
+                    self._count(mapped and len(records) > 0)
             for ri in group:
                 read = batch[ri]
                 if read.empty or ri not in scored_by_ri:
                     continue
-                mapped, records = self.processor.process(read, scored_by_ri[ri])
+                mapped, records = outcomes[job_key[ri]]
                 writer.write_read(read, records, mapped)
                 self._count(mapped and any(not r.align.skip for r in records))
 
