@@ -114,12 +114,12 @@ def align_banded(ref_window: bytes, qry: bytes, offsets: np.ndarray,
         res = wb.align(spec, params)
     else:
         res = run_batch([spec], params=params)[0]
-    bt = backtrack(res, offsets, width, len(qry))
-    if bt is None:
+    from .cigar import backtrack_and_convert
+    out = backtrack_and_convert(res, offsets, width, ref_window, qry,
+                                external_qstart, external_qend)
+    if out is None:
         return None
-    ops, ref_position, _qstart = bt
-    align, final_len = convert_cigar(ops, ref_window, ref_position, qry,
-                                     external_qstart, external_qend)
+    align, final_len = out
     align.score = res.score
     align._final_cigar_length = final_len
     return align

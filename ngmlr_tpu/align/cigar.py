@@ -107,6 +107,72 @@ def _popcount32(v: int) -> int:
     return bin(v & 0xFFFFFFFF).count("1")
 
 
+def backtrack_and_convert(res: WavefrontResult, offsets: np.ndarray, width: int,
+                          ref_window: bytes, qry: bytes,
+                          external_qstart: int, external_qend: int
+                          ) -> Optional[Tuple[Align, int]]:
+    """Native (C++) fast path for backtrack + convert_cigar; falls back to
+    the Python oracle when the native library is unavailable."""
+    from ..native import get_lib, CigarResult
+    import ctypes
+
+    lib = get_lib()
+    if lib is None:
+        bt = backtrack(res, offsets, width, len(qry))
+        if bt is None:
+            return None
+        ops, ref_position, _ = bt
+        return convert_cigar(ops, ref_window, ref_position, qry,
+                             external_qstart, external_qend)
+
+    dirs = np.ascontiguousarray(res.dirs)
+    offs = np.ascontiguousarray(np.asarray(offsets, dtype=np.int64))
+    qry_len = len(qry)
+    cigar_cap = 16 * qry_len + 64
+    md_cap = 16 * qry_len + 64
+    nm_cap = 2 * (qry_len + 1)
+    cigar_buf = ctypes.create_string_buffer(cigar_cap)
+    md_buf = ctypes.create_string_buffer(md_cap)
+    nm_buf = np.zeros((nm_cap, 3), dtype=np.int32)
+    out = CigarResult()
+    rc = lib.backtrack_and_convert(
+        dirs.ctypes.data, dirs.shape[0], dirs.shape[1],
+        res.best_x, res.best_y,
+        offs.ctypes.data, len(offs), width,
+        ref_window, len(ref_window),
+        qry, qry_len,
+        external_qstart, external_qend,
+        cigar_buf, cigar_cap, md_buf, md_cap,
+        nm_buf.ctypes.data, nm_cap,
+        ctypes.byref(out))
+    if rc == 1:
+        return None
+    if rc == 2:  # buffer overflow — retry through the Python path
+        bt = backtrack(res, offsets, width, qry_len)
+        if bt is None:
+            return None
+        ops, ref_position, _ = bt
+        return convert_cigar(ops, ref_window, ref_position, qry,
+                             external_qstart, external_qend)
+
+    align = Align()
+    align.cigar = cigar_buf.raw[:out.cigar_len].decode()
+    align.md = md_buf.raw[:out.md_len].decode()
+    align.nm = out.nm
+    align.identity = float(out.identity)
+    align.alignment_length = out.alignment_length
+    align.cigar_op_count = out.cigar_op_count
+    align.qstart = out.qstart
+    align.qend = out.qend
+    align.position_offset = out.ref_position
+    align.first_ref_pos = out.first_ref_pos
+    align.first_read_pos = out.first_read_pos
+    align.last_ref_pos = out.last_ref_pos
+    align.last_read_pos = out.last_read_pos
+    align.nm_per_position = nm_buf[:out.nm_pos_count].copy()
+    return align, out.final_cigar_length
+
+
 def convert_cigar(ops: List[Tuple[int, int]], ref_window: bytes,
                   ref_position: int, qry: bytes,
                   external_qstart: int, external_qend: int) -> Tuple[Align, int]:

@@ -1,0 +1,78 @@
+"""Native (C++) host components, loaded via ctypes.
+
+Replaces the reference's native host code paths (backtracking, CIGAR/MD
+generation) with equally-native implementations; the Python twins in
+ngmlr_tpu.align.cigar remain the test oracle. The library auto-builds with
+g++ on first import and falls back to pure Python when no toolchain exists.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "cigar_native.cpp")
+_LIB = os.path.join(_HERE, "libngmlr_cigar.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+class CigarResult(ctypes.Structure):
+    _fields_ = [
+        ("valid", ctypes.c_int32),
+        ("ref_position", ctypes.c_int32),
+        ("final_cigar_length", ctypes.c_int32),
+        ("nm", ctypes.c_int32),
+        ("identity", ctypes.c_float),
+        ("alignment_length", ctypes.c_int32),
+        ("cigar_op_count", ctypes.c_int32),
+        ("qstart", ctypes.c_int32),
+        ("qend", ctypes.c_int32),
+        ("first_ref_pos", ctypes.c_int32),
+        ("first_read_pos", ctypes.c_int32),
+        ("last_ref_pos", ctypes.c_int32),
+        ("last_read_pos", ctypes.c_int32),
+        ("cigar_len", ctypes.c_int64),
+        ("md_len", ctypes.c_int64),
+        ("nm_pos_count", ctypes.c_int64),
+    ]
+
+
+def _build():
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++14", "-o", _LIB, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    """Returns the loaded library or None (pure-Python fallback)."""
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        try:
+            if (not os.path.exists(_LIB)
+                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_LIB)
+            fn = lib.backtrack_and_convert
+            fn.restype = ctypes.c_int
+            fn.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,    # dirs,T,L
+                ctypes.c_int32, ctypes.c_int32,                     # best x,y
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,    # offsets,H,width
+                ctypes.c_char_p, ctypes.c_int64,                    # ref
+                ctypes.c_char_p, ctypes.c_int64,                    # qry
+                ctypes.c_int32, ctypes.c_int32,                     # ext clips
+                ctypes.c_char_p, ctypes.c_int64,                    # cigar buf
+                ctypes.c_char_p, ctypes.c_int64,                    # md buf
+                ctypes.c_void_p, ctypes.c_int64,                    # nm buf
+                ctypes.POINTER(CigarResult),
+            ]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib

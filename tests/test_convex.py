@@ -134,3 +134,38 @@ def test_compute_alignment_wide_corridor_spans_deletion():
                           AlignerConfig(), short_read=True)
     assert a is not None
     assert a.cigar == "100M40D60M"
+
+
+def test_native_cigar_matches_python():
+    from ngmlr_tpu.native import get_lib
+    if get_lib() is None:
+        pytest.skip("no native toolchain")
+    from ngmlr_tpu.ops.convex import BandSpec, run_batch
+    from ngmlr_tpu.align.cigar import (backtrack, convert_cigar,
+                                       backtrack_and_convert)
+    rng = np.random.default_rng(77)
+    for trial in range(10):
+        truth = _rand_seq(rng, 300)
+        qry = _mutate(rng, truth)
+        ref = _rand_seq(rng, 40) + truth + _rand_seq(rng, 40)
+        offs, width = corridor_linear(96, len(qry))
+        spec = BandSpec(ref, qry, np.asarray(offs), width).prepare()
+        res = run_batch([spec])[0]
+        py = backtrack(res, offs, width, len(qry))
+        nat = backtrack_and_convert(res, offs, width, ref, qry, 3, 5)
+        if py is None:
+            assert nat is None
+            continue
+        ops, ref_position, _ = py
+        a_py, len_py = convert_cigar(ops, ref, ref_position, qry, 3, 5)
+        a_nat, len_nat = nat
+        assert len_py == len_nat
+        assert a_py.cigar == a_nat.cigar
+        assert a_py.md == a_nat.md
+        assert a_py.nm == a_nat.nm
+        assert a_py.qstart == a_nat.qstart and a_py.qend == a_nat.qend
+        assert a_py.identity == pytest.approx(a_nat.identity)
+        assert a_py.cigar_op_count == a_nat.cigar_op_count
+        assert (a_py.first_ref_pos, a_py.first_read_pos) == (a_nat.first_ref_pos, a_nat.first_read_pos)
+        assert (a_py.last_ref_pos, a_py.last_read_pos) == (a_nat.last_ref_pos, a_nat.last_read_pos)
+        np.testing.assert_array_equal(a_py.nm_per_position, a_nat.nm_per_position)
