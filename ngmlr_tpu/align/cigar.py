@@ -136,7 +136,7 @@ def backtrack_and_convert(res: WavefrontResult, offsets: np.ndarray, width: int,
     nm_buf = np.zeros((nm_cap, 3), dtype=np.int32)
     out = CigarResult()
     rc = lib.backtrack_and_convert(
-        dirs.ctypes.data, dirs.shape[0], dirs.shape[1],
+        dirs.ctypes.data, dirs.shape[0] * 4, dirs.shape[1],
         res.best_x, res.best_y,
         offs.ctypes.data, len(offs), width,
         ref_window, len(ref_window),

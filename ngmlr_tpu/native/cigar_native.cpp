@@ -72,11 +72,12 @@ int backtrack_and_convert(
   int64_t cigar_string_length = qend_clip;
 
   int x = best_x, y = best_y;
+  // dirs is 2-bit packed: byte [t/4, lane] holds wavefronts t..t+3
   auto dir_at = [&](int xx, int yy) -> int {
     if (xx < 0 || yy < 0) return STOP;
     int64_t t = (int64_t)xx + yy;
     if (t >= T) return STOP;
-    return dirs[t * L + (yy % L)];
+    return (dirs[(t >> 2) * L + (yy % L)] >> ((t & 3) * 2)) & 3;
   };
 
   int d = dir_at(x, y);
