@@ -146,16 +146,27 @@ class KmerIndex:
         for ci in range(len(ref.names)):
             offset = int(ref.ref_start[ci])
             length = int(ref.ref_len[ci])
-            decoded = ref.decode_window(offset, length + 2)
-            chars = np.frombuffer(decoded[:length], dtype=np.uint8)
+            # Reference quirk (PrefixTable.cpp:218, 249): DecodeRefSequence is
+            # called with bufferLength = len, so only len-2 bases decode (odd
+            # counts leave a trailing 'x'), the buffer is NUL-filled to len,
+            # and PrefixIteration scans all len chars — '\0' and 'x' encode
+            # as code 0 ((c>>1)&3), creating phantom k-mers at chromosome
+            # ends. Reproduced bit-for-bit.
+            decoded = ref.decode_window(offset, length)
+            buf = decoded + b"\x00" * (length - len(decoded))
+            chars = np.frombuffer(buf, dtype=np.uint8)
             prefixes, starts = kmer_stream(chars, k, stride)
             pos = starts + offset
-            # same-prefix same-bin dedup (PrefixTable.cpp:372-393); state
-            # resets per chromosome
-            if len(pos) > 1:
+            # same-prefix same-bin dedup (CountKmer, PrefixTable.cpp:372-393);
+            # state resets per chromosome. Subtlety: a prefix change sets
+            # lastBin = -1, so the SECOND emission of a same-prefix run is
+            # always kept; skipping starts at the third.
+            if len(pos) > 2:
                 bins = pos >> bin_size
+                same = np.zeros(len(pos), dtype=bool)
+                same[1:] = prefixes[1:] == prefixes[:-1]
                 skip = np.zeros(len(pos), dtype=bool)
-                skip[1:] = (prefixes[1:] == prefixes[:-1]) & (bins[1:] == bins[:-1])
+                skip[2:] = same[2:] & same[1:-1] & (bins[2:] == bins[1:-1])
                 prefixes = prefixes[~skip]
                 pos = pos[~skip]
             all_prefixes.append(prefixes)

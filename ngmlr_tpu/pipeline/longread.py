@@ -555,7 +555,7 @@ class LongReadProcessor:
                 mq_count += 1
         if mq_count == 0:
             return 0
-        return int(mq_sum * 1.0 / mq_count)
+        return int(np.float32(mq_sum) * np.float32(1.0) / np.float32(mq_count))
 
     def align_single_or_multiple(self, read: Read, iv: Interval,
                                  records: List[AlignmentRecord],

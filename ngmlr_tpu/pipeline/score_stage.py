@@ -29,12 +29,14 @@ MAX_MQ = 60.0
 
 
 def compute_mq(best: float, second: Optional[float]) -> int:
-    """ScoreBuffer::computeMQ (ScoreBuffer.cpp:33-45)."""
+    """ScoreBuffer::computeMQ (ScoreBuffer.cpp:33-45) — float32 arithmetic."""
     if second is None:
         return int(MAX_MQ)
     if best <= 0:
         return 0  # reference divides by zero here; rare corner, see docstring
-    return int(math.ceil(MAX_MQ * (best - second) / best))
+    f = np.float32
+    val = f(MAX_MQ) * (f(best) - f(second)) / f(best)
+    return int(math.ceil(float(val)))
 
 
 def score_read_batch(ref: ReferenceGenome, cfg: Config,

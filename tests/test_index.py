@@ -98,9 +98,10 @@ def test_index_same_bin_dedup(tmp_path):
     assert len(nz) == 1  # only poly-A
     pos = idx.lookup(int(nz[0])) - 1000  # remove leading pad
     # emissions at chrom-relative 0,3,...,93 (k=7); bins are ABSOLUTE
-    # (pos+1000)>>4, so bin edges fall at relative 8,24,40,...; first
-    # emission per bin:
-    assert pos.tolist() == [0, 9, 24, 42, 57, 72, 90]
+    # (pos+1000)>>4 with edges at relative 8,24,40,...; the first TWO
+    # emissions of a same-prefix run are always kept (lastBin==-1 after a
+    # prefix change, PrefixTable.cpp:377-386), then first-per-bin:
+    assert pos.tolist() == [0, 3, 9, 24, 42, 57, 72, 90]
 
 
 def test_candidate_search_finds_origin(tmp_path):
