@@ -10,15 +10,19 @@ Semantics preserved:
 
   * one vote per (k-mer occurrence in index) per read k-mer; read-side k-mer
     stream has stride 1 and N-run splitting (CS.cpp:36, CSstatic.cpp:23-73),
+  * vote order is per k-mer: forward-bucket positions then
+    reverse-complement-bucket positions (PrefixSearch iterates the fwd/rev
+    RefEntry chain per prefix, CS.cpp:57-96),
   * fwd vote bin   = (loc - pos) >> bin_size,
-    rev vote bin   = (loc - (read_len - (pos + k))) >> bin_size
-    (PrefixSearch, CS.cpp:57-96),
+    rev vote bin   = (loc - (read_len - (pos + k))) >> bin_size,
   * candidate location = ResolveBin(bin) = (bin << bin_size) + 2^(bin_size-1)
     (CS.h:175-186),
-  * keep (bin, strand) with count >= max(min_kmer_hits, 0.8 * max_count)
-    (AddLocationStd + CollectResultsStd, CS.cpp:136-148, 217-269),
-  * a subread whose zero-hit k-mer count exceeds 90% of its k-mer positions
-    gets mapping quality 0 (CS.cpp:221-225).
+  * candidate ORDER matches the reference's rList emergence order: a bin
+    enters the list at the first vote where its per-strand count reaches the
+    RUNNING threshold max_count_so_far * sensitivity (float32;
+    AddLocationStd, CS.cpp:136-148); the final filter re-applies the final
+    threshold, forward strand before reverse per entry
+    (CollectResultsStd, CS.cpp:248-263).
 """
 
 from dataclasses import dataclass
@@ -27,6 +31,8 @@ from typing import List
 import numpy as np
 
 from ..index.kmer_index import KmerIndex, kmer_stream, revcomp_prefix
+
+f32 = np.float32
 
 
 @dataclass
@@ -38,15 +44,22 @@ class SubreadCandidates:
     mq_zero: bool           # >90% of k-mers had zero index hits
 
 
+def _empty():
+    return SubreadCandidates(np.zeros(0, np.int64), np.zeros(0, bool),
+                             np.zeros(0, np.float32), False)
+
+
 def search_batch(index: KmerIndex, seqs: List[bytes], sensitivity: float = 0.8,
                  min_kmer_hits: int = 0) -> List[SubreadCandidates]:
     """Vectorized candidate search over a batch of subread sequences."""
     k = index.k
     bin_size = index.bin_size
+    sens = f32(sensitivity)
 
     # --- per-subread k-mer streams, concatenated --------------------------
-    sub_idx_parts, prefix_parts, pos_parts = [], [], []
+    sub_idx_parts, prefix_parts, pos_parts, emit_parts = [], [], [], []
     n_kmer_positions = np.zeros(len(seqs), dtype=np.int64)
+    emit_base = 0
     for si, seq in enumerate(seqs):
         chars = np.frombuffer(seq, dtype=np.uint8)
         prefixes, starts = kmer_stream(chars, k, stride=1)
@@ -55,95 +68,132 @@ def search_batch(index: KmerIndex, seqs: List[bytes], sensitivity: float = 0.8,
             sub_idx_parts.append(np.full(len(starts), si, dtype=np.int64))
             prefix_parts.append(prefixes)
             pos_parts.append(starts)
+            emit_parts.append(np.arange(emit_base, emit_base + len(starts)))
+            emit_base += len(starts)
 
-    empty = SubreadCandidates(np.zeros(0, np.int64), np.zeros(0, bool),
-                              np.zeros(0, np.float32), False)
     if not prefix_parts:
-        return [empty] * len(seqs)
+        return [_empty()] * len(seqs)
 
     sub_idx = np.concatenate(sub_idx_parts)
     prefixes = np.concatenate(prefix_parts)
     positions = np.concatenate(pos_parts)
+    emit_idx = np.concatenate(emit_parts)
     read_lens = np.asarray([len(s) for s in seqs], dtype=np.int64)
 
     rc = revcomp_prefix(prefixes, k)
     fwd_cnt = index.counts_for(prefixes)
     rev_cnt = index.counts_for(rc)
 
-    # kCount: emitted k-mers with zero total hits (CS.cpp:67-69)
+    # kCount bookkeeping (CS.cpp:67-69) — dead for MQ (see score_stage) but
+    # kept for parity/debugging
     zero_hits = (fwd_cnt + rev_cnt) == 0
     k_count = np.bincount(sub_idx[zero_hits], minlength=len(seqs))
     mq_zero = k_count > ((read_lens - k + 1) * 0.9).astype(np.int64)
 
-    # --- expand hits -------------------------------------------------------
-    def expand(cnt: np.ndarray, pref: np.ndarray, corr: np.ndarray):
+    # --- expand hits into votes -------------------------------------------
+    def expand(cnt, pref, corr):
         total = int(cnt.sum())
         if total == 0:
-            return (np.zeros(0, np.int64),) * 3
+            z = np.zeros(0, np.int64)
+            return z, z, z, z
         rep_sub = np.repeat(sub_idx, cnt)
-        rep_corr = np.repeat(corr, cnt)
-        # gather location lists: base + within-bucket offset
+        rep_emit = np.repeat(emit_idx, cnt)
         starts = index.bucket_start[pref]
-        offs = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(cnt) - cnt, cnt)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
         locs = index.positions[np.repeat(starts, cnt) + offs]
-        bins = (locs - rep_corr) >> bin_size
-        return rep_sub, bins, rep_corr
+        bins = (locs - np.repeat(corr, cnt)) >> bin_size
+        return rep_sub, bins, rep_emit, offs
 
-    fwd_sub, fwd_bins, _ = expand(fwd_cnt, prefixes, positions)
+    fwd = expand(fwd_cnt, prefixes, positions)
     rev_corr = read_lens[sub_idx] - (positions + k)
-    rev_sub, rev_bins, _ = expand(rev_cnt, rc, rev_corr)
+    rev = expand(rev_cnt, rc, rev_corr)
 
-    # order index to recover "first emergence" ordering of vote-table entries
-    fwd_order = np.arange(len(fwd_sub), dtype=np.int64)
-    rev_order = np.arange(len(rev_sub), dtype=np.int64) + len(fwd_sub)
+    sub_all = np.concatenate([fwd[0], rev[0]])
+    bins_all = np.concatenate([fwd[1], rev[1]])
+    emit_all = np.concatenate([fwd[2], rev[2]])
+    within = np.concatenate([fwd[3], rev[3]])
+    strand = np.concatenate([np.zeros(len(fwd[0]), np.int8),
+                             np.ones(len(rev[0]), np.int8)])
 
-    sub_all = np.concatenate([fwd_sub, rev_sub])
-    bins_all = np.concatenate([fwd_bins, rev_bins])
-    strand = np.concatenate([np.zeros(len(fwd_sub), np.int8), np.ones(len(rev_sub), np.int8)])
-    order_all = np.concatenate([fwd_order, rev_order])
+    # global vote order: (subread, k-mer emission, fwd-before-rev, bucket pos)
+    vote_order = np.lexsort((within, strand, emit_all, sub_all))
+    v_sub = sub_all[vote_order]
+    v_bin = bins_all[vote_order]
+    v_str = strand[vote_order]
 
-    # --- segment reduce per (subread, bin, strand) --------------------------
-    sort_idx = np.lexsort((order_all, strand, bins_all, sub_all))
-    s_sub = sub_all[sort_idx]
-    s_bin = bins_all[sort_idx]
-    s_str = strand[sort_idx]
-    s_ord = order_all[sort_idx]
+    # --- per-(subread,bin,strand) running counts ---------------------------
+    grp_sort = np.lexsort((np.arange(len(v_sub)), v_str, v_bin, v_sub))
+    g_sub = v_sub[grp_sort]
+    g_bin = v_bin[grp_sort]
+    g_str = v_str[grp_sort]
+    new_grp = np.ones(len(g_sub), dtype=bool)
+    new_grp[1:] = ((g_sub[1:] != g_sub[:-1]) | (g_bin[1:] != g_bin[:-1])
+                   | (g_str[1:] != g_str[:-1]))
+    grp_id_sorted = np.cumsum(new_grp) - 1
+    first_of_grp = np.nonzero(new_grp)[0]
+    cum_in_grp = np.arange(len(g_sub)) - first_of_grp[grp_id_sorted]
+    # scatter back to vote order
+    grp_id = np.empty(len(v_sub), dtype=np.int64)
+    count_after = np.empty(len(v_sub), dtype=np.int64)
+    grp_id[grp_sort] = grp_id_sorted
+    count_after[grp_sort] = cum_in_grp + 1
 
-    new_grp = np.ones(len(s_sub), dtype=bool)
-    new_grp[1:] = ((s_sub[1:] != s_sub[:-1]) | (s_bin[1:] != s_bin[:-1])
-                   | (s_str[1:] != s_str[:-1]))
-    grp_starts = np.nonzero(new_grp)[0]
-    grp_counts = np.diff(np.append(grp_starts, len(s_sub)))
+    n_groups = int(grp_id_sorted[-1]) + 1 if len(grp_id_sorted) else 0
+    grp_sub = np.empty(n_groups, dtype=np.int64)
+    grp_bin = np.empty(n_groups, dtype=np.int64)
+    grp_strand = np.empty(n_groups, dtype=np.int8)
+    grp_total = np.zeros(n_groups, dtype=np.int64)
+    grp_sub[grp_id] = v_sub
+    grp_bin[grp_id] = v_bin
+    grp_strand[grp_id] = v_str
+    np.add.at(grp_total, grp_id, 1)
 
-    g_sub = s_sub[grp_starts]
-    g_bin = s_bin[grp_starts]
-    g_str = s_str[grp_starts]
-    g_first = s_ord[grp_starts]      # first-vote order within (bin,strand)
-    g_cnt = grp_counts.astype(np.float32)
-
+    # --- emergence (rList crossing) per subread ----------------------------
     resolve_off = (1 << (bin_size - 1)) if bin_size > 0 else 0
-    g_loc = (g_bin << bin_size) + resolve_off
-
-    # --- threshold per subread ----------------------------------------------
     out: List[SubreadCandidates] = []
-    # group rows are sorted by subread already
-    row_split = np.searchsorted(g_sub, np.arange(len(seqs) + 1))
+    sub_bounds = np.searchsorted(v_sub, np.arange(len(seqs) + 1))
+    counts_f = count_after.astype(np.float32)
+
     for si in range(len(seqs)):
-        lo, hi = row_split[si], row_split[si + 1]
+        lo, hi = int(sub_bounds[si]), int(sub_bounds[si + 1])
         if lo == hi:
             out.append(SubreadCandidates(np.zeros(0, np.int64), np.zeros(0, bool),
                                          np.zeros(0, np.float32), bool(mq_zero[si])))
             continue
-        cnt = g_cnt[lo:hi]
-        thresh = max(float(min_kmer_hits), float(cnt.max()) * sensitivity)
-        keep = cnt >= thresh
-        # emergence order: first-vote order of the (bin,strand) entry
-        order = np.argsort(g_first[lo:hi][keep], kind="stable")
+        cnt = counts_f[lo:hi]
+        run_max = np.maximum.accumulate(cnt)
+        thresh = run_max * sens                       # f32 (AddLocationStd)
+        crossing = cnt >= thresh
+        gids = grp_id[lo:hi]
+
+        # entry (bin) crossing time: first crossing vote of EITHER strand.
+        # entries are keyed by bin only (rTable slot), CS.cpp:102-148
+        final_max = float(run_max[-1])
+        final_thresh = max(f32(min_kmer_hits), f32(f32(final_max) * sens))
+
+        cross_votes = np.nonzero(crossing)[0]
+        cb = grp_bin[gids[cross_votes]]
+        uniq_bins, first_idx = np.unique(cb, return_index=True)
+        order_bins = uniq_bins[np.argsort(first_idx, kind="stable")].tolist()
+
+        locs, revs, cnts = [], [], []
+        sub_groups = {}
+        for g in np.unique(gids):
+            sub_groups[(int(grp_bin[g]), int(grp_strand[g]))] = float(grp_total[g])
+        for b in order_bins:
+            fc = sub_groups.get((b, 0), 0.0)
+            rcnt = sub_groups.get((b, 1), 0.0)
+            if f32(fc) >= final_thresh:
+                locs.append((b << bin_size) + resolve_off)
+                revs.append(False)
+                cnts.append(fc)
+            if f32(rcnt) >= final_thresh:
+                locs.append((b << bin_size) + resolve_off)
+                revs.append(True)
+                cnts.append(rcnt)
         out.append(SubreadCandidates(
-            g_loc[lo:hi][keep][order],
-            g_str[lo:hi][keep][order].astype(bool),
-            cnt[keep][order],
-            bool(mq_zero[si]),
-        ))
+            np.asarray(locs, dtype=np.int64),
+            np.asarray(revs, dtype=bool),
+            np.asarray(cnts, dtype=np.float32),
+            bool(mq_zero[si])))
     return out
