@@ -1,0 +1,61 @@
+"""Multi-device sharding tests on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ngmlr_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
+from ngmlr_tpu.ops.ungapped import score_batch_kernel, nt_codes
+from ngmlr_tpu.ops.convex import _wavefront_kernel
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_scoring_matches_single_device():
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    B, R, Q = 16, 128, 96
+    refs = rng.integers(0, 5, size=(B, R)).astype(np.uint8)
+    qrys = rng.integers(0, 5, size=(B, Q)).astype(np.uint8)
+
+    want = np.asarray(score_batch_kernel(jnp.asarray(refs), jnp.asarray(qrys)))
+
+    bs = batch_sharding(mesh)
+    r_sh = jax.device_put(jnp.asarray(refs), bs)
+    q_sh = jax.device_put(jnp.asarray(qrys), bs)
+    got = np.asarray(jax.jit(score_batch_kernel,
+                             in_shardings=(bs, bs),
+                             out_shardings=bs)(r_sh, q_sh))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_wavefront_matches_single_device():
+    mesh = make_mesh()
+    rng = np.random.default_rng(1)
+    B, Tp, L = 8, 256, 128
+    ref = rng.integers(65, 85, size=(B, Tp)).astype(np.uint8)
+    qry = rng.integers(65, 85, size=(B, Tp)).astype(np.uint8)
+    ymin = np.zeros((B, Tp), dtype=np.int32)
+    ymax = np.minimum(np.arange(Tp, dtype=np.int32), 60)[None, :].repeat(B, 0)
+    params = jnp.asarray([2.0, -5.0, -5.0, -5.0, -1.0, 0.15], dtype=jnp.float32)
+
+    import functools
+    kern = functools.partial(_wavefront_kernel, L=L)
+    dirs0, best0, by0, bx0 = kern(jnp.asarray(ref), jnp.asarray(qry),
+                                  jnp.asarray(ymin), jnp.asarray(ymax), params)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    bs = batch_sharding(mesh)
+    rp = replicated(mesh)
+    dirs_sh = NamedSharding(mesh, P(None, "reads"))  # [T, B, L]: shard batch
+    args = [jax.device_put(jnp.asarray(a), bs) for a in (ref, qry, ymin, ymax)]
+    jitted = jax.jit(kern, in_shardings=(bs, bs, bs, bs, rp),
+                     out_shardings=(dirs_sh, bs, bs, bs))
+    dirs1, best1, by1, bx1 = jitted(*args, jax.device_put(params, rp))
+    np.testing.assert_array_equal(np.asarray(best0), np.asarray(best1))
+    np.testing.assert_array_equal(np.asarray(by0), np.asarray(by1))
+    np.testing.assert_array_equal(np.asarray(bx0), np.asarray(bx1))
+    np.testing.assert_array_equal(np.asarray(dirs0), np.asarray(dirs1))
