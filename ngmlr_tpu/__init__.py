@@ -22,3 +22,26 @@ implementation here is designed for XLA/TPU execution.
 """
 
 __version__ = "0.1.0"
+
+
+def _tune_allocator():
+    """Keep large allocations on the heap instead of per-allocation mmap.
+
+    Sandboxed/virtualized hosts (including the tunneled-TPU setup this runs
+    on) fault in fresh pages extremely slowly (~30 MB/s measured). glibc by
+    default mmaps every allocation above 128 KB and returns it to the OS on
+    free, so every large numpy buffer / device-to-host copy pays first-touch
+    faults again and again. mallopt(M_MMAP_MAX, 0) + an infinite trim
+    threshold makes freed pages stay warm in the heap. No-op off glibc.
+    """
+    try:
+        import ctypes
+        libc = ctypes.CDLL(None, use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_MAX = -1, -4
+        libc.mallopt(M_MMAP_MAX, 0)
+        libc.mallopt(M_TRIM_THRESHOLD, 2 ** 30)
+    except Exception:
+        pass
+
+
+_tune_allocator()

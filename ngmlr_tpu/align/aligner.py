@@ -4,51 +4,76 @@ Rebuild of AlignmentBuffer::computeAlignment and the corridor generators
 (/root/reference/src/AlignmentBuffer.cpp:52-197, 226-465). Float32
 truncation points of the originals are preserved because corridor geometry
 feeds the kernel and the validPath check, both of which decide retries.
+
+All four corridor generators are affine formulas; they are represented as
+(mode, float pair, int) scalars and evaluated on device
+(ngmlr_tpu.ops.device_engine._corridor_offs). `materialize_offsets` is the
+host twin used by tests and the oracle kernels.
 """
 
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
-from ..ops.convex import BandSpec, run_batch, DEFAULT_PARAMS
-from .cigar import Align, backtrack, convert_cigar
+from ..io.reads import SeqView
+from ..ops.device_engine import (AlignProblem, RefDesc, CORRIDOR_FULL,
+                                 CORRIDOR_LINEAR, CORRIDOR_ENDPOINTS,
+                                 CORRIDOR_ANCHORS)
+from ..ops import device_engine
+from .cigar import Align, ops_convert
 
 f32 = np.float32
 
+DEFAULT_PARAMS = (2.0, -5.0, -5.0, -5.0, -1.0, 0.15)
 
-def corridor_full(ref_seq_len: int, qry_len: int):
+
+@dataclass(frozen=True)
+class Corridor:
+    mode: int
+    cf: Tuple[float, float]   # (k, d) / (k_align, corridor_right)
+    ci: int                   # full: base offset; linear: corridor//2
+    width: int
+
+
+@dataclass
+class RefWin:
+    """A decoded reference window: host bytes + device descriptor."""
+    desc: RefDesc
+    data: bytes
+
+    @property
+    def W(self) -> int:
+        return len(self.data)
+
+
+def corridor_full(ref_seq_len: int) -> Corridor:
     """getCorridorFull (AlignmentBuffer.cpp:84-105)."""
     w = ref_seq_len
     off = int(f32(w) * f32(-0.2))
     length = w + int(f32(w) * f32(0.2))
-    return np.full(qry_len, off, dtype=np.int64), length
+    return Corridor(CORRIDOR_FULL, (1.0, 0.0), off, length)
 
 
-def corridor_linear(corridor: int, qry_len: int):
+def corridor_linear(corridor: int) -> Corridor:
     """getCorridorLinear (AlignmentBuffer.cpp:68-82)."""
-    offs = np.arange(qry_len, dtype=np.int64) - corridor // 2
-    return offs, corridor
+    return Corridor(CORRIDOR_LINEAR, (1.0, 0.0), corridor // 2, corridor)
 
 
-def corridor_endpoints(corridor: int, ref_len: int, qry_len: int, realign: bool):
+def corridor_endpoints(corridor: int, ref_len: int, qry_len: int,
+                       realign: bool) -> Corridor:
     """getCorridorEndpoints (AlignmentBuffer.cpp:107-127)."""
     width = corridor // (1 if realign else 4)
     k = f32(qry_len) / f32(ref_len)
     d = f32(width) / f32(2.0)
-    i = np.arange(qry_len, dtype=np.float32)
-    offs = np.trunc((i - d) / k).astype(np.int64)  # C cast truncates toward 0
-    return offs, width
+    return Corridor(CORRIDOR_ENDPOINTS, (float(k), float(d)), 0, width)
 
 
 def corridor_with_anchors(interval, corridor_multiplier: int, ref_len: int,
                           qry_len: int, external_qstart: int,
-                          read_part_length: int, full_read_length: int):
-    """getCorridorEndpointsWithAnchors (AlignmentBuffer.cpp:129-197).
-
-    `interval` needs .anchors (list with .on_read/.on_ref/.is_reverse) and
-    .on_ref_start.
-    """
+                          read_part_length: int,
+                          full_read_length: int) -> Corridor:
+    """getCorridorEndpointsWithAnchors (AlignmentBuffer.cpp:129-197)."""
     k_align = f32(qry_len) / f32(ref_len)
     corridor_left = f32(0.0)
     corridor_right = f32(0.0)
@@ -76,9 +101,21 @@ def corridor_with_anchors(interval, corridor_multiplier: int, ref_len: int,
     corridor_right = f32(corridor_right * corridor_multiplier)
 
     width = int(f32(corridor_left + corridor_right))
+    return Corridor(CORRIDOR_ANCHORS, (float(k_align), float(corridor_right)),
+                    0, width)
+
+
+def materialize_offsets(c: Corridor, qry_len: int) -> np.ndarray:
+    """Host twin of the device corridor evaluation (tests / oracle path)."""
     i = np.arange(qry_len, dtype=np.float32)
-    offs = np.trunc(i / k_align - corridor_right).astype(np.int64)
-    return offs, width
+    if c.mode == CORRIDOR_FULL:
+        return np.full(qry_len, c.ci, dtype=np.int64)
+    if c.mode == CORRIDOR_LINEAR:
+        return np.arange(qry_len, dtype=np.int64) - c.ci
+    k, d = f32(c.cf[0]), f32(c.cf[1])
+    if c.mode == CORRIDOR_ENDPOINTS:
+        return np.trunc((i - d) / k).astype(np.int64)
+    return np.trunc(i / k - d).astype(np.int64)
 
 
 @dataclass
@@ -97,70 +134,71 @@ class AlignerConfig:
                 self.score_gap_decay)
 
 
-def align_banded(ref_window: bytes, qry: bytes, offsets: np.ndarray,
-                 width: int, external_qstart: int, external_qend: int,
+def align_banded(ref_win: RefWin, qry_view: SeqView, corridor: Corridor,
+                 external_qstart: int, external_qend: int,
                  params=DEFAULT_PARAMS) -> Optional[Align]:
-    """One SingleAlign call: kernel fill + backtrack + cigar conversion.
-
-    Returns None on backtrack failure (out-of-corridor path / no alignment).
-    The caller checks final cigar length == full read length.
+    """One SingleAlign call: device fill + device backtrack + host CIGAR
+    conversion. Returns None on backtrack failure (out-of-corridor path /
+    no alignment); the caller checks final cigar length == full read length.
     """
-    if len(qry) == 0 or len(ref_window) == 0:
+    if qry_view.length == 0 or ref_win.W == 0:
         return None
-    spec = BandSpec(ref_window, qry, offsets, width).prepare()
+    problem = AlignProblem(ref_win.desc, qry_view.desc(), corridor.mode,
+                           corridor.cf, corridor.ci, corridor.width)
     from ..pipeline import batcher as _batcher
     wb = _batcher.current()
     if wb is not None:
-        res = wb.align(spec, params)
+        wb.align(problem, params)
     else:
-        res = run_batch([spec], params=params)[0]
-    from .cigar import backtrack_and_convert
-    out = backtrack_and_convert(res, offsets, width, ref_window, qry,
-                                external_qstart, external_qend)
+        device_engine.current().align_wave([problem], params)
+    if not problem.ok:
+        return None
+    out = ops_convert(problem.ops, problem.best_x, problem.best_y,
+                      ref_win.data, qry_view.to_bytes(),
+                      external_qstart, external_qend)
     if out is None:
         return None
     align, final_len = out
-    align.score = res.score
+    align.score = problem.score
     align._final_cigar_length = final_len
     return align
 
 
-def compute_alignment(interval, corridor: int, read_seq: bytes,
+def compute_alignment(interval, corridor: int, qry_view: SeqView,
                       external_qstart: int, external_qend: int,
-                      full_read_length: int, ref_window: bytes,
+                      full_read_length: int, ref_win: RefWin,
                       cfg: AlignerConfig,
                       realign: bool = False, full_alignment: bool = False,
                       short_read: bool = False,
                       read_part_length: int = 256) -> Optional[Align]:
     """computeAlignment retry loop (AlignmentBuffer.cpp:226-465).
 
-    `ref_window` is the decoded [onRefStart, onRefStop] window
-    (decode_exact output); refSeqLen in reference terms = len(ref_window)+1.
+    `ref_win` wraps the decoded [onRefStart, onRefStop] window
+    (decode_exact output); refSeqLen in reference terms = W + 1.
     """
-    if ref_window is None or read_seq is None:
+    if ref_win is None or qry_view is None:
         return None
-    ref_seq_len = len(ref_window) + 1   # reference's refSeqLen (incl. NUL slot)
+    ref_seq_len = ref_win.W + 1   # reference's refSeqLen (incl. NUL slot)
     retry = 1 if full_alignment else 5
     max_corridor = ref_seq_len * 2
     corridor = min(corridor, max_corridor)
-    qry_len = len(read_seq)
+    qry_len = qry_view.length
 
     mult = 1
     while corridor * mult <= max_corridor and retry > 0:
         retry -= 1
         if full_alignment:
-            offs, width = corridor_full(ref_seq_len, qry_len)
+            c = corridor_full(ref_seq_len)
         elif short_read:
-            offs, width = corridor_linear(corridor * mult, qry_len)
+            c = corridor_linear(corridor * mult)
         elif mult < 3 and not realign and interval is not None and len(interval.anchors) > 0:
-            offs, width = corridor_with_anchors(
-                interval, mult, len(ref_window), qry_len, external_qstart,
+            c = corridor_with_anchors(
+                interval, mult, ref_win.W, qry_len, external_qstart,
                 read_part_length, full_read_length)
         else:
-            offs, width = corridor_endpoints(corridor * mult, len(ref_window),
-                                             qry_len, realign)
+            c = corridor_endpoints(corridor * mult, ref_win.W, qry_len, realign)
 
-        align = align_banded(ref_window, read_seq, offs, width,
+        align = align_banded(ref_win, qry_view, c,
                              external_qstart, external_qend, cfg.params)
         if align is not None and align._final_cigar_length == full_read_length:
             return align

@@ -107,6 +107,104 @@ def _popcount32(v: int) -> int:
     return bin(v & 0xFFFFFFFF).count("1")
 
 
+def decode_op_stream(packed: np.ndarray, t_best: int) -> np.ndarray:
+    """Unpack the device backtrack op stream (4 ops/byte, op for wavefront t
+    at bits (t%4)*2 of byte t//4) into the backward-walk op sequence
+    (nonzero ops for t descending from t_best)."""
+    nbytes = (t_best >> 2) + 1
+    b = packed[:nbytes].astype(np.uint8)
+    vals = np.stack([(b >> s) & 3 for s in (0, 2, 4, 6)], axis=1).reshape(-1)
+    vals = vals[: t_best + 1][::-1]
+    return vals[vals != 0]
+
+
+def ops_backtrack(packed: np.ndarray, best_x: int, best_y: int,
+                  qry_len: int) -> Optional[Tuple[List[Tuple[int, int]], int, int]]:
+    """revBacktrack equivalent over the device op stream: returns
+    (binary cigar [(op, len), ...] forward order, ref_position, qstart) or
+    None on cigar-length mismatch. The corridor validPath checks already ran
+    on device."""
+    if best_y <= 0:
+        return None
+    t_best = best_x + best_y
+    if t_best >= len(packed) * 4:
+        return None
+    walk = decode_op_stream(packed, t_best)
+    n_diag = int(np.count_nonzero(walk == DIAG))
+    n_ins = int(np.count_nonzero(walk == INS))
+    n_del = len(walk) - n_diag - n_ins
+    y_stop = best_y - n_diag - n_ins
+    x_stop = best_x - n_diag - n_del
+    qend = (qry_len - best_y) - 1
+    cigar_string_length = qend + n_diag + n_ins + y_stop + 1
+    if cigar_string_length != qry_len:
+        return None
+    ops: List[Tuple[int, int]] = [(-1, qend)]
+    if len(walk):
+        change = np.nonzero(np.diff(walk))[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(walk)]])
+        for s, e in zip(starts, ends):
+            ops.append((int(walk[s]), int(e - s)))
+    ops.append((-1, y_stop + 1))
+    ops.reverse()
+    return ops, x_stop + 1, y_stop + 1
+
+
+def ops_convert(packed: np.ndarray, best_x: int, best_y: int,
+                ref_window: bytes, qry: bytes,
+                external_qstart: int, external_qend: int
+                ) -> Optional[Tuple[Align, int]]:
+    """Native (C++) op-stream -> Align conversion with Python fallback."""
+    from ..native import get_lib, CigarResult
+    import ctypes
+
+    lib = get_lib()
+    qry_len = len(qry)
+    if lib is not None:
+        buf = np.ascontiguousarray(packed)
+        cigar_cap = 16 * qry_len + 64
+        md_cap = 16 * qry_len + 64
+        nm_cap = 2 * (qry_len + 1)
+        cigar_buf = ctypes.create_string_buffer(cigar_cap)
+        md_buf = ctypes.create_string_buffer(md_cap)
+        nm_buf = np.zeros((nm_cap, 3), dtype=np.int32)
+        out = CigarResult()
+        rc = lib.ops_convert(
+            buf.ctypes.data, len(buf), best_x, best_y,
+            ref_window, len(ref_window), qry, qry_len,
+            external_qstart, external_qend,
+            cigar_buf, cigar_cap, md_buf, md_cap,
+            nm_buf.ctypes.data, nm_cap, ctypes.byref(out))
+        if rc == 1:
+            return None
+        if rc == 0:
+            align = Align()
+            align.cigar = cigar_buf.raw[:out.cigar_len].decode()
+            align.md = md_buf.raw[:out.md_len].decode()
+            align.nm = out.nm
+            align.identity = float(out.identity)
+            align.alignment_length = out.alignment_length
+            align.cigar_op_count = out.cigar_op_count
+            align.qstart = out.qstart
+            align.qend = out.qend
+            align.position_offset = out.ref_position
+            align.first_ref_pos = out.first_ref_pos
+            align.first_read_pos = out.first_read_pos
+            align.last_ref_pos = out.last_ref_pos
+            align.last_read_pos = out.last_read_pos
+            align.nm_per_position = nm_buf[:out.nm_pos_count].copy()
+            return align, out.final_cigar_length
+        # rc == 2: buffer overflow — fall through to the Python path
+
+    bt = ops_backtrack(packed, best_x, best_y, qry_len)
+    if bt is None:
+        return None
+    ops, ref_position, _ = bt
+    return convert_cigar(ops, ref_window, ref_position, qry,
+                         external_qstart, external_qend)
+
+
 def backtrack_and_convert(res: WavefrontResult, offsets: np.ndarray, width: int,
                           ref_window: bytes, qry: bytes,
                           external_qstart: int, external_qend: int

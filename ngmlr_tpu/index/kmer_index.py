@@ -99,10 +99,12 @@ def kmer_stream(chars: np.ndarray, k: int, stride: int) -> Tuple[np.ndarray, np.
     nstarts = n - k + 1
     win_ok = (cs[k:] - cs[:-k]) == k          # [nstarts]
 
-    # rolling 2-bit value
+    # rolling 2-bit value (in-place: fresh large allocations fault slowly
+    # on the target sandbox — see ngmlr_tpu._tune_allocator)
     val = np.zeros(nstarts, dtype=np.int64)
     for j in range(k):
-        val = (val << 2) | codes[j:j + nstarts]
+        np.left_shift(val, 2, out=val)
+        np.bitwise_or(val, codes[j:j + nstarts], out=val)
 
     # stride anchored at each segment's first valid window:
     # segment id = number of N chars before the window start
@@ -126,12 +128,16 @@ def kmer_stream(chars: np.ndarray, k: int, stride: int) -> Tuple[np.ndarray, np.
 
 class KmerIndex:
     def __init__(self, k: int, bucket_start: np.ndarray, positions: np.ndarray,
-                 bin_size: int, kmer_skip: int):
+                 bin_size: int, kmer_skip: int,
+                 uniq_prefix: Optional[np.ndarray] = None):
         self.k = k
-        self.bucket_start = bucket_start  # int64 [4^k + 1]
+        # dense: bucket_start int64 [4^k + 1]; sparse: int64 [u + 1] over
+        # the sorted unique prefixes in uniq_prefix
+        self.bucket_start = bucket_start
         self.positions = positions        # int64 [n]
         self.bin_size = bin_size
         self.kmer_skip = kmer_skip
+        self.uniq_prefix = uniq_prefix
 
     # -- build -----------------------------------------------------------
 
@@ -175,23 +181,42 @@ class KmerIndex:
         prefixes = np.concatenate(all_prefixes) if all_prefixes else np.zeros(0, np.int64)
         pos = np.concatenate(all_pos) if all_pos else np.zeros(0, np.int64)
 
-        freq = np.bincount(prefixes, minlength=n_prefix).astype(np.int32)
-        rc_freq = freq[_revcomp_table(k)]
-        total = freq + rc_freq
+        # frequency cutoff over UNIQUE prefixes only — never materializes a
+        # 4^k-sized array for small genomes (the dense variant cost tens of
+        # seconds of page faults for a 2 Mbp genome)
+        uniq, inv, cnt = np.unique(prefixes, return_inverse=True,
+                                   return_counts=True)
+        rc_u = revcomp_prefix(uniq, k)
+        j = np.searchsorted(uniq, rc_u)
+        jc = np.clip(j, 0, max(0, len(uniq) - 1))
+        found = (j < len(uniq)) & (uniq[jc] == rc_u) if len(uniq) else np.zeros(0, bool)
+        rc_cnt = np.where(found, cnt[jc], 0)
+        total = cnt + rc_cnt
         weight = ((max_prefix_freq - total) * 100.0 / max_prefix_freq).astype(np.int8)
-        used = (freq > 0) & (total < max_prefix_freq) & (weight != 0)
-        used[n_prefix - 1] = False  # poly-G never indexed (PrefixTable.cpp:289)
+        used_u = (total < max_prefix_freq) & (weight != 0)
+        used_u &= uniq != (n_prefix - 1)  # poly-G never indexed (PrefixTable.cpp:289)
 
-        keep = used[prefixes]
+        keep = used_u[inv]
         prefixes = prefixes[keep]
         pos = pos[keep]
         order = np.argsort(prefixes, kind="stable")  # scan order within bucket
         sorted_prefix = prefixes[order]
         positions = pos[order]
-        bucket_start = np.zeros(n_prefix + 1, dtype=np.int64)
-        counts = np.bincount(sorted_prefix, minlength=n_prefix)
-        bucket_start[1:] = np.cumsum(counts)
-        return cls(k, bucket_start, positions, bin_size, kmer_skip)
+
+        kept_uniq = uniq[used_u]
+        u = len(kept_uniq)
+        if u * 16 >= n_prefix:
+            # dense representation (human-scale genomes): O(1) bucket lookup
+            bucket_start = np.zeros(n_prefix + 1, dtype=np.int64)
+            counts = np.bincount(sorted_prefix, minlength=n_prefix)
+            bucket_start[1:] = np.cumsum(counts)
+            return cls(k, bucket_start, positions, bin_size, kmer_skip)
+        # sparse representation: searchsorted over the unique prefix list
+        bucket_start = np.zeros(u + 1, dtype=np.int64)
+        bucket_start[1:] = np.searchsorted(sorted_prefix, kept_uniq,
+                                           side="right")
+        return cls(k, bucket_start, positions, bin_size, kmer_skip,
+                   uniq_prefix=kept_uniq)
 
     # -- cache -------------------------------------------------------------
 
@@ -208,9 +233,12 @@ class KmerIndex:
         idx = cls.build(ref, k, kmer_skip, bin_size, max_prefix_freq)
         if use_cache and not skip_save:
             try:
+                extra = ({"uniq_prefix": idx.uniq_prefix}
+                         if idx.uniq_prefix is not None else {})
                 np.savez(cache, cookie=np.int64(INDEX_COOKIE), version=np.int64(INDEX_VERSION),
                          k=np.int64(k), kmer_skip=np.int64(kmer_skip),
-                         bucket_start=idx.bucket_start, positions=idx.positions)
+                         bucket_start=idx.bucket_start, positions=idx.positions,
+                         **extra)
             except OSError:
                 pass
         return idx
@@ -223,16 +251,34 @@ class KmerIndex:
                 if (int(z["cookie"]) != INDEX_COOKIE or int(z["version"]) != INDEX_VERSION
                         or int(z["k"]) != k or int(z["kmer_skip"]) != kmer_skip):
                     return None
-                return cls(k, z["bucket_start"], z["positions"], bin_size, kmer_skip)
+                uniq = z["uniq_prefix"] if "uniq_prefix" in z.files else None
+                return cls(k, z["bucket_start"], z["positions"], bin_size,
+                           kmer_skip, uniq_prefix=uniq)
         except Exception:
             return None
 
     # -- lookup ------------------------------------------------------------
 
+    def bucket_of(self, prefixes: np.ndarray):
+        """(starts, counts) of each prefix's position bucket (vectorized),
+        independent of the dense/sparse representation."""
+        if self.uniq_prefix is None:
+            starts = self.bucket_start[prefixes]
+            counts = self.bucket_start[prefixes + 1] - starts
+            return starts, counts
+        u = len(self.uniq_prefix)
+        i = np.searchsorted(self.uniq_prefix, prefixes)
+        ic = np.clip(i, 0, max(0, u - 1))
+        found = (i < u) & (self.uniq_prefix[ic] == prefixes) if u else \
+            np.zeros(len(prefixes), bool)
+        starts = np.where(found, self.bucket_start[ic], 0)
+        counts = np.where(found,
+                          self.bucket_start[ic + 1] - self.bucket_start[ic], 0)
+        return starts, counts
+
     def lookup(self, prefix: int) -> np.ndarray:
-        lo = self.bucket_start[prefix]
-        hi = self.bucket_start[prefix + 1]
-        return self.positions[lo:hi]
+        starts, counts = self.bucket_of(np.asarray([prefix]))
+        return self.positions[int(starts[0]):int(starts[0] + counts[0])]
 
     def counts_for(self, prefixes: np.ndarray) -> np.ndarray:
-        return (self.bucket_start[prefixes + 1] - self.bucket_start[prefixes])
+        return self.bucket_of(prefixes)[1]

@@ -30,6 +30,7 @@ class Read:
     seq: bytes
     qual: Optional[bytes]
     empty: bool = False
+    buf_offset: int = -1    # absolute offset in the device read-code buffer
 
     _rev: Optional[bytes] = field(default=None, repr=False)
 
@@ -51,6 +52,39 @@ class Read:
 
     def subread_seq(self, i: int, part_length: int = 256) -> bytes:
         return self.seq[i * part_length:(i + 1) * part_length]
+
+
+@dataclass(frozen=True)
+class SeqView:
+    """A (slice, revcomp?) view of a read — the only query shape the whole
+    pipeline ever aligns or scores (extractReadSeq semantics,
+    AlignmentBuffer.cpp:1515-1549). Carries both the host bytes (lazily) and
+    the device descriptor (read buffer offset)."""
+    read: Read
+    start: int
+    length: int
+    rev: bool
+
+    def __len__(self) -> int:
+        return self.length
+
+    def to_bytes(self) -> bytes:
+        sub = self.read.seq[self.start:self.start + self.length]
+        return reverse_complement(sub) if self.rev else sub
+
+    def sub(self, a: int, b: int) -> "SeqView":
+        """View of self[a:b] (b > a)."""
+        n = b - a
+        if not self.rev:
+            return SeqView(self.read, self.start + a, n, False)
+        return SeqView(self.read, self.start + self.length - b, n, True)
+
+    def revcomp(self) -> "SeqView":
+        return SeqView(self.read, self.start, self.length, not self.rev)
+
+    def desc(self):
+        from ..ops.device_engine import QryDesc
+        return QryDesc(self.read.buf_offset + self.start, self.length, self.rev)
 
 
 def read_stream(path: str, start_id: int = 0) -> Iterator[Read]:

@@ -217,6 +217,54 @@ class ReferenceGenome:
         out += b"x" * end
         return bytes(out)
 
+    # -- device window descriptors (see ngmlr_tpu.ops.device_engine.RefDesc)
+
+    def decode_window_desc(self, position: int, buffer_length: int):
+        """Descriptor twin of decode_window: the decoded byte at window
+        index i is CODE2CHAR[codes[ds + i]] for i < hi - ds (contiguous
+        span), 'x'/absent beyond. Returns None exactly when decode_window
+        does."""
+        from ..ops.device_engine import RefDesc
+        length = buffer_length - 2
+        if position >= self.concat_len or position < 0:
+            return None
+        end = 0
+        if position + length > self.concat_len:
+            end = (position + length) - self.concat_len
+            length -= end
+        d = (position & 1) + 2 * ((length + 1) // 2)
+        hi = min(position + d, len(self.codes))
+        return RefDesc(ds=position, diff=0, hi=hi, W=(hi - position) + end)
+
+    def decode_exact_desc(self, start_position: int, sequence_length: int):
+        """Descriptor twin of decode_exact (corridor == 0, the only case the
+        pipeline uses). Relies on chromosome starts/ends being even (leading
+        pad 1000 + even per-chromosome padding), which makes the decoded
+        span exactly [ds, hi)."""
+        from ..ops.device_engine import RefDesc
+        if start_position >= self.concat_len or start_position < 0:
+            return None
+        W = sequence_length - 1
+        chrom = self.get_chr_start(start_position)
+        decode_start = start_position
+        end_position = start_position + sequence_length
+        decode_end = end_position
+        if end_position > chrom.end:
+            decode_end -= (end_position - chrom.end)
+        if decode_start < chrom.start:
+            if decode_end > chrom.start:
+                diff = chrom.start - decode_start
+                ds = chrom.start
+            else:
+                return RefDesc(ds=0, diff=0, hi=0, W=W)  # fully in spacer
+        else:
+            diff = 0
+            ds = decode_start
+        first_pair = ds + 1 if (ds & 1) else ds
+        hi = min(first_pair + 2 * ((decode_end - ds + 1) // 2),
+                 len(self.codes))
+        return RefDesc(ds=ds, diff=diff, hi=hi, W=W)
+
     def _decode_span(self, start_pos: int, end_pos: int) -> bytes:
         """decode() (SequenceProvider.cpp:475-490): bases [start, ~end]."""
         out = bytearray()

@@ -72,6 +72,19 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_int64,                    # nm buf
                 ctypes.POINTER(CigarResult),
             ]
+            fn2 = lib.ops_convert
+            fn2.restype = ctypes.c_int
+            fn2.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,                    # packed,len
+                ctypes.c_int32, ctypes.c_int32,                     # best x,y
+                ctypes.c_char_p, ctypes.c_int64,                    # ref
+                ctypes.c_char_p, ctypes.c_int64,                    # qry
+                ctypes.c_int32, ctypes.c_int32,                     # ext clips
+                ctypes.c_char_p, ctypes.c_int64,                    # cigar buf
+                ctypes.c_char_p, ctypes.c_int64,                    # md buf
+                ctypes.c_void_p, ctypes.c_int64,                    # nm buf
+                ctypes.POINTER(CigarResult),
+            ]
             _lib = lib
         except Exception:
             _lib = None

@@ -4,8 +4,16 @@
 // ConvexAlignFast::revBacktrack + convertCigar,
 // /root/reference/src/ConvexAlignFast.cpp:335-433, 112-333). The Python
 // implementation remains the test oracle; this file is the production host
-// path (the walk is O(path length) per alignment and Python-loop-bound for
-// 100k-base reads).
+// path.
+//
+// Two entry points:
+//   * backtrack_and_convert — walks a host-resident packed direction plane
+//     (legacy path, kept for the oracle kernels),
+//   * ops_convert — consumes the 2-bit op stream emitted by the on-device
+//     backtrack (ngmlr_tpu.ops.device_engine._convex_kernel): op for
+//     wavefront t lives at bit (t%4)*2 of byte t/4; 0 = no op at this
+//     wavefront, else DIAG/INS/DEL. Iterating t descending reproduces the
+//     reference's backward walk exactly.
 //
 // Build: g++ -O3 -shared -fPIC -o libngmlr_cigar.so cigar_native.cpp
 // Interface: plain C, used via ctypes.
@@ -44,86 +52,26 @@ struct CigarResult {
   int64_t nm_pos_count;
 };
 
-// returns 0 on success, 1 on backtrack failure, 2 on buffer overflow
-int backtrack_and_convert(
-    const uint8_t* dirs, int64_t T, int64_t L,
-    int32_t best_x, int32_t best_y,
-    const int64_t* offsets, int32_t H, int32_t width,
-    const char* ref_window, int64_t /*ref_window_len*/,
-    const char* qry, int64_t qry_len,
-    int32_t external_qstart, int32_t external_qend,
-    char* cigar_out, int64_t cigar_cap,
-    char* md_out, int64_t md_cap,
-    int32_t* nm_pos_out, int64_t nm_pos_cap_triples,
-    CigarResult* res) {
-  res->valid = 0;
-  if (best_y <= 0) return 1;
+}  // extern "C"
 
-  // ---- revBacktrack (ConvexAlignFast.cpp:335-433) ----
-  // ops collected in reverse path order (EQ/X split by char equality —
-  // equivalent to the reference's stored EQ/X directions)
-  int64_t cap_ops = qry_len + (int64_t)width + 16;
-  Op* rev_ops = new Op[cap_ops + 2];
-  int64_t n_ops = 0;
+namespace {
 
-  int cur_op = -1;  // CIGAR_S
-  int qend_clip = (int)(qry_len - best_y) - 1;
-  int cur_len = qend_clip;
-  int64_t cigar_string_length = qend_clip;
-
-  int x = best_x, y = best_y;
-  // dirs is 2-bit packed: byte [t/4, lane] holds wavefronts t..t+3
-  auto dir_at = [&](int xx, int yy) -> int {
-    if (xx < 0 || yy < 0) return STOP;
-    int64_t t = (int64_t)xx + yy;
-    if (t >= T) return STOP;
-    return (dirs[(t >> 2) * L + (yy % L)] >> ((t & 3) * 2)) & 3;
-  };
-
-  int d = dir_at(x, y);
-  while (d != STOP) {
-    // validPath (AlignmentMatrixFast.cpp:213-220), float truncation kept
-    int minC = (int)((float)offsets[y] + 0.1f * (float)width);
-    int maxC = (int)((float)minC + (float)width - 0.1f * (float)width);
-    if (!(x > minC && x < maxC)) { delete[] rev_ops; return 1; }
-
-    int emit_op;
-    if (d == DIAG) {
-      emit_op = (qry[y] == ref_window[x]) ? 4 /*EQ*/ : 5 /*X*/;
-      x -= 1; y -= 1; cigar_string_length += 1;
-    } else if (d == INS) {
-      emit_op = INS; y -= 1; cigar_string_length += 1;
-    } else if (d == DEL) {
-      emit_op = DEL; x -= 1;
-    } else {
-      delete[] rev_ops; return 1;
-    }
-    if (emit_op == cur_op) {
-      cur_len += 1;
-    } else {
-      if (n_ops >= cap_ops) { delete[] rev_ops; return 2; }
-      rev_ops[n_ops].op = cur_op; rev_ops[n_ops].len = cur_len; n_ops++;
-      cur_op = emit_op; cur_len = 1;
-    }
-    d = dir_at(x, y);
-  }
-  if (n_ops + 2 > cap_ops) { delete[] rev_ops; return 2; }
-  rev_ops[n_ops].op = cur_op; rev_ops[n_ops].len = cur_len; n_ops++;
-  rev_ops[n_ops].op = -1; rev_ops[n_ops].len = y + 1; n_ops++;  // leading clip
-  cigar_string_length += y + 1;
-
-  int ref_position = x + 1;
-  if (cigar_string_length != qry_len) { delete[] rev_ops; return 1; }
-
-  // ---- convertCigar (ConvexAlignFast.cpp:112-333) ----
+// convertCigar (ConvexAlignFast.cpp:112-333) over reverse-path-ordered ops.
+// rev_ops[0] = trailing clip, rev_ops[n-1] = leading clip.
+// returns 0 ok / 2 overflow
+int convert_from_rev_ops(
+    const Op* rev_ops, int64_t n_ops, int ref_position,
+    const char* ref_window, int32_t external_qstart, int32_t external_qend,
+    char* cigar_out, int64_t cigar_cap, char* md_out, int64_t md_cap,
+    int32_t* nm_pos_out, int64_t nm_pos_cap_triples, CigarResult* res) {
   const char* refseq = ref_window + ref_position;
   uint32_t buffer = 0;
   int pos_in_ref = 0, pos_in_read = 0;
   int cigar_op_count = 0;
   int exact_alignment_length = 0;
   int64_t final_cigar_length = 0;
-  int64_t co = 0, mo = 0;     // cigar / md offsets
-  int64_t nmc = 0;            // nm positions
+  int64_t co = 0, mo = 0;
+  int64_t nmc = 0;
 
   auto emit_cigar = [&](long len, char opch) -> bool {
     int n = snprintf(cigar_out + co, (size_t)(cigar_cap - co), "%ld%c", len, opch);
@@ -142,7 +90,7 @@ int backtrack_and_convert(
   int clip0 = rev_ops[n_ops - 1].len;  // leading clip
   int qstart = clip0 + external_qstart;
   if (qstart > 0) {
-    if (!emit_cigar(qstart, 'S')) { delete[] rev_ops; return 2; }
+    if (!emit_cigar(qstart, 'S')) return 2;
     final_cigar_length += qstart;
   }
   pos_in_read = clip0;
@@ -171,7 +119,6 @@ int backtrack_and_convert(
   };
 
   bool overflow = false;
-  // iterate reversed (skip leading/trailing clip entries)
   for (int64_t i = n_ops - 2; i >= 1 && !overflow; --i) {
     int op = rev_ops[i].op;
     long length = rev_ops[i].len;
@@ -233,16 +180,16 @@ int backtrack_and_convert(
         exact_alignment_length += length;
         break;
       default:
-        delete[] rev_ops; return 1;
+        return 1;
     }
   }
-  if (overflow) { delete[] rev_ops; return 2; }
-  if (!md_num(md_eq_length)) { delete[] rev_ops; return 2; }
-  if (!flush_m()) { delete[] rev_ops; return 2; }
+  if (overflow) return 2;
+  if (!md_num(md_eq_length)) return 2;
+  if (!flush_m()) return 2;
 
   int qend = rev_ops[0].len + external_qend;  // trailing clip
   if (qend > 0) {
-    if (!emit_cigar(qend, 'S')) { delete[] rev_ops; return 2; }
+    if (!emit_cigar(qend, 'S')) return 2;
   }
   final_cigar_length += qend;
 
@@ -260,8 +207,150 @@ int backtrack_and_convert(
   res->cigar_len = co;
   res->md_len = mo;
   res->nm_pos_count = nmc;
-  delete[] rev_ops;
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// returns 0 on success, 1 on backtrack failure, 2 on buffer overflow
+int backtrack_and_convert(
+    const uint8_t* dirs, int64_t T, int64_t L,
+    int32_t best_x, int32_t best_y,
+    const int64_t* offsets, int32_t H, int32_t width,
+    const char* ref_window, int64_t /*ref_window_len*/,
+    const char* qry, int64_t qry_len,
+    int32_t external_qstart, int32_t external_qend,
+    char* cigar_out, int64_t cigar_cap,
+    char* md_out, int64_t md_cap,
+    int32_t* nm_pos_out, int64_t nm_pos_cap_triples,
+    CigarResult* res) {
+  res->valid = 0;
+  if (best_y <= 0) return 1;
+
+  // ---- revBacktrack (ConvexAlignFast.cpp:335-433) ----
+  int64_t cap_ops = qry_len + (int64_t)width + 16;
+  Op* rev_ops = new Op[cap_ops + 2];
+  int64_t n_ops = 0;
+
+  int cur_op = -1;  // CIGAR_S
+  int qend_clip = (int)(qry_len - best_y) - 1;
+  int cur_len = qend_clip;
+  int64_t cigar_string_length = qend_clip;
+
+  int x = best_x, y = best_y;
+  auto dir_at = [&](int xx, int yy) -> int {
+    if (xx < 0 || yy < 0) return STOP;
+    int64_t t = (int64_t)xx + yy;
+    if (t >= T) return STOP;
+    return (dirs[(t >> 2) * L + (yy % L)] >> ((t & 3) * 2)) & 3;
+  };
+
+  int d = dir_at(x, y);
+  while (d != STOP) {
+    int minC = (int)((float)offsets[y] + 0.1f * (float)width);
+    int maxC = (int)((float)minC + (float)width - 0.1f * (float)width);
+    if (!(x > minC && x < maxC)) { delete[] rev_ops; return 1; }
+
+    int emit_op;
+    if (d == DIAG) {
+      emit_op = (qry[y] == ref_window[x]) ? 4 /*EQ*/ : 5 /*X*/;
+      x -= 1; y -= 1; cigar_string_length += 1;
+    } else if (d == INS) {
+      emit_op = INS; y -= 1; cigar_string_length += 1;
+    } else if (d == DEL) {
+      emit_op = DEL; x -= 1;
+    } else {
+      delete[] rev_ops; return 1;
+    }
+    if (emit_op == cur_op) {
+      cur_len += 1;
+    } else {
+      if (n_ops >= cap_ops) { delete[] rev_ops; return 2; }
+      rev_ops[n_ops].op = cur_op; rev_ops[n_ops].len = cur_len; n_ops++;
+      cur_op = emit_op; cur_len = 1;
+    }
+    d = dir_at(x, y);
+  }
+  if (n_ops + 2 > cap_ops) { delete[] rev_ops; return 2; }
+  rev_ops[n_ops].op = cur_op; rev_ops[n_ops].len = cur_len; n_ops++;
+  rev_ops[n_ops].op = -1; rev_ops[n_ops].len = y + 1; n_ops++;  // leading clip
+  cigar_string_length += y + 1;
+
+  int ref_position = x + 1;
+  if (cigar_string_length != qry_len) { delete[] rev_ops; return 1; }
+
+  int rc = convert_from_rev_ops(rev_ops, n_ops, ref_position, ref_window,
+                                external_qstart, external_qend,
+                                cigar_out, cigar_cap, md_out, md_cap,
+                                nm_pos_out, nm_pos_cap_triples, res);
+  delete[] rev_ops;
+  return rc;
+}
+
+// Device-backtrack op stream -> Align fields. The device already performed
+// the validPath checks; op==0 wavefronts are skipped. Returns 0/1/2 as above.
+int ops_convert(
+    const uint8_t* packed_ops, int64_t packed_len_bytes,
+    int32_t best_x, int32_t best_y,
+    const char* ref_window, int64_t /*ref_window_len*/,
+    const char* qry, int64_t qry_len,
+    int32_t external_qstart, int32_t external_qend,
+    char* cigar_out, int64_t cigar_cap,
+    char* md_out, int64_t md_cap,
+    int32_t* nm_pos_out, int64_t nm_pos_cap_triples,
+    CigarResult* res) {
+  res->valid = 0;
+  if (best_y <= 0) return 1;
+
+  int64_t t_best = (int64_t)best_x + best_y;
+  if (t_best >= packed_len_bytes * 4) return 1;
+
+  int64_t cap_ops = qry_len + (t_best + 1) + 16;
+  Op* rev_ops = new Op[cap_ops + 2];
+  int64_t n_ops = 0;
+
+  int cur_op = -1;
+  int qend_clip = (int)(qry_len - best_y) - 1;
+  int cur_len = qend_clip;
+  int64_t cigar_string_length = qend_clip;
+
+  int x = best_x, y = best_y;
+  for (int64_t t = t_best; t >= 0; --t) {
+    int d = (packed_ops[t >> 2] >> ((t & 3) * 2)) & 3;
+    if (d == 0) continue;
+    int emit_op;
+    if (d == DIAG) {
+      emit_op = (qry[y] == ref_window[x]) ? 4 /*EQ*/ : 5 /*X*/;
+      x -= 1; y -= 1; cigar_string_length += 1;
+    } else if (d == INS) {
+      emit_op = INS; y -= 1; cigar_string_length += 1;
+    } else {  // DEL
+      emit_op = DEL; x -= 1;
+    }
+    if (emit_op == cur_op) {
+      cur_len += 1;
+    } else {
+      if (n_ops >= cap_ops) { delete[] rev_ops; return 2; }
+      rev_ops[n_ops].op = cur_op; rev_ops[n_ops].len = cur_len; n_ops++;
+      cur_op = emit_op; cur_len = 1;
+    }
+  }
+  if (n_ops + 2 > cap_ops) { delete[] rev_ops; return 2; }
+  rev_ops[n_ops].op = cur_op; rev_ops[n_ops].len = cur_len; n_ops++;
+  rev_ops[n_ops].op = -1; rev_ops[n_ops].len = y + 1; n_ops++;
+  cigar_string_length += y + 1;
+
+  int ref_position = x + 1;
+  if (cigar_string_length != qry_len) { delete[] rev_ops; return 1; }
+
+  int rc = convert_from_rev_ops(rev_ops, n_ops, ref_position, ref_window,
+                                external_qstart, external_qend,
+                                cigar_out, cigar_cap, md_out, md_cap,
+                                nm_pos_out, nm_pos_cap_triples, res);
+  delete[] rev_ops;
+  return rc;
 }
 
 }  // extern "C"

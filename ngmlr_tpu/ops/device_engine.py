@@ -1,0 +1,522 @@
+"""Device-resident compute engine: genome + read batch live in HBM; every
+kernel input is a handful of scalars per problem and every output is a few
+bytes per problem.
+
+Motivation (measured on the target setup): the host<->device tunnel runs at
+~25 ms round-trip latency and ~50-90 MB/s. The original design uploaded
+decoded reference windows / corridor row tables and downloaded packed
+direction planes — hundreds of KB to MB per alignment. This engine removes
+all of it:
+
+  * the encoded genome (uint8 codes, SequenceProvider enc4 space: A=0,T=1,
+    G=2,C=3,N=4) is uploaded ONCE; reference windows are gathered on device
+    from (decode_start, diff, hi) descriptors that reproduce
+    DecodeRefSequence / DecodeRefSequenceExact byte-for-byte
+    (/root/reference/src/SequenceProvider.cpp:493-625) with 'x' as code 5,
+  * the read batch is uploaded once per batch (code space as above); every
+    query anywhere in the pipeline is a (start, len, revcomp) view of a read
+    (AlignmentBuffer::extractReadSeq semantics, AlignmentBuffer.cpp:1515-1549),
+  * all four corridor generators of AlignmentBuffer.cpp:52-197 are affine
+    formulas — corridors travel as (mode, 2 floats, 2 ints) and the per-row
+    offsets / per-wavefront row windows are recomputed on device,
+  * backtracking runs ON DEVICE as a reverse sweep over the direction planes
+    (which never leave HBM): a lax.scan from the last anti-diagonal down to 0
+    carries (x, y) per problem and emits at most one CIGAR op per wavefront —
+    no HBM gathers, pure [B, L] vector ops. The op stream crosses the tunnel
+    2-bit-packed (<= T/4 bytes per alignment).
+
+The wavefront fill itself reproduces ConvexAlignFast::fwdFillMatrix
+(/root/reference/src/ConvexAlignFast.cpp:606-774) exactly, including f32
+arithmetic, the D-run > I-run > diag > D > I > STOP tie-break and the
+first-in-row-major-order best-cell rule; see ngmlr_tpu.ops.convex for the
+derivation of the anti-diagonal formulation (this file replaces its mod-L
+lane ring with a window-aligned layout: lane l of wavefront t holds row
+ymin(t)+l, which turns all neighbor reads into shifts by {0,1,2} and all
+sequence reads into contiguous dynamic slices).
+"""
+
+from dataclasses import dataclass
+import functools
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+STOP, DIAG, INS, DEL = 0, 1, 2, 3
+XCODE = 5            # 'x' (undecodable) — never equals a query code
+NCODE = 4
+
+# corridor modes (AlignmentBuffer.cpp:52-197)
+CORRIDOR_FULL, CORRIDOR_LINEAR, CORRIDOR_ENDPOINTS, CORRIDOR_ANCHORS = 0, 1, 2, 3
+
+MAX_SEQ_LEN = 100000  # ssw guard (StrippedSW.h:87)
+
+
+# int64 genome positions (> 2^31 for human-scale concat coordinates) must
+# not silently truncate; every kernel dtype in this file is explicit, so
+# enabling x64 does not change any f32 arithmetic.
+jax.config.update("jax_enable_x64", True)
+
+
+def _enable_compilation_cache():
+    try:
+        d = os.environ.get("NGMLR_TPU_JAX_CACHE",
+                           os.path.expanduser("~/.cache/ngmlr_tpu_jax"))
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def _pow2(x: int, lo: int) -> int:
+    v = lo
+    while v < x:
+        v *= 2
+    return v
+
+
+# ---------------------------------------------------------------------------
+# descriptors
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class RefDesc:
+    """Device recipe for a decoded reference window of length W:
+    window[i] = CODE2CHAR[genome[ds + i - diff]] if (i >= diff and i < W and
+    ds + i - diff < hi) else 'x'. Produced by ReferenceGenome.decode_*_desc."""
+    ds: int
+    diff: int
+    hi: int
+    W: int
+
+
+@dataclass(frozen=True)
+class QryDesc:
+    """Query = read byte range [start, start+length) of the batch read
+    buffer, reverse-complemented iff rev."""
+    start: int          # absolute offset into the batch read-code buffer
+    length: int
+    rev: bool
+
+
+@dataclass
+class ScoreProblem:
+    ref: RefDesc
+    qry: QryDesc
+    result: float = 0.0
+
+
+@dataclass
+class AlignProblem:
+    ref: RefDesc
+    qry: QryDesc
+    corridor_mode: int
+    corridor_f: Tuple[float, float]    # (k, d) / (k_align, corridor_right)
+    corridor_i: int                    # full: base offset; linear: corridor//2
+    width: int
+    # results:
+    score: float = 0.0
+    best_x: int = -1
+    best_y: int = -1
+    stop_x: int = -1
+    stop_y: int = -1
+    ok: bool = False                   # backtrack reached STOP inside corridor
+    ops: Optional[np.ndarray] = None   # packed op stream [ceil(T/4)] uint8
+
+    @property
+    def T(self) -> int:
+        return self.ref.W + self.qry.length - 1
+
+
+# ---------------------------------------------------------------------------
+# device context
+# ---------------------------------------------------------------------------
+
+_current: Optional["DeviceContext"] = None
+
+
+def set_current(ctx: Optional["DeviceContext"]):
+    global _current
+    _current = ctx
+
+
+def current() -> Optional["DeviceContext"]:
+    return _current
+
+
+class DeviceContext:
+    """Holds the device-resident genome and the per-batch read buffer."""
+
+    def __init__(self, genome_codes: np.ndarray):
+        _enable_compilation_cache()
+        self.genome_len = int(len(genome_codes))
+        self.genome = jax.device_put(np.ascontiguousarray(genome_codes))
+        self.readbuf = None
+        self.readbuf_len = 0
+        self._i32 = self.genome_len < 2 ** 31 - 2
+
+    def upload_reads(self, read_codes: np.ndarray):
+        """Upload the concatenated code buffer of the current read batch."""
+        # pad so clipped gathers never read past the end
+        n = _pow2(len(read_codes) + 8, 4096)
+        buf = np.full(n, NCODE, dtype=np.uint8)
+        buf[: len(read_codes)] = read_codes
+        self.readbuf = jax.device_put(buf)
+        self.readbuf_len = len(read_codes)
+
+    # -- scoring -----------------------------------------------------------
+
+    def score_wave(self, problems: Sequence[ScoreProblem]) -> None:
+        """Fill .result of every problem (ungapped local segment score,
+        StrippedSW semantics — see ngmlr_tpu.ops.ungapped)."""
+        if not problems:
+            return
+        buckets = {}
+        for i, p in enumerate(problems):
+            Rp = _pow2(max(p.ref.W, 1), 64)
+            Qp = _pow2(max(p.qry.length, 1), 64)
+            buckets.setdefault((Rp, Qp), []).append(i)
+        for (Rp, Qp), idxs in buckets.items():
+            P = _pow2(len(idxs), 8)
+            pi = np.zeros((P, 7), dtype=np.int64)
+            for bi, i in enumerate(idxs):
+                p = problems[i]
+                pi[bi] = (p.ref.ds, p.ref.diff, p.ref.hi, p.ref.W,
+                          p.qry.start, p.qry.length, 1 if p.qry.rev else 0)
+            scores = _score_kernel(self.genome, self.readbuf,
+                                   jnp.asarray(pi), Rp=Rp, Qp=Qp)
+            scores = np.asarray(scores)
+            for bi, i in enumerate(idxs):
+                p = problems[i]
+                if (p.ref.W + 1 >= MAX_SEQ_LEN
+                        or p.qry.length + 1 >= MAX_SEQ_LEN):
+                    p.result = -1.0
+                else:
+                    p.result = float(scores[bi])
+
+    # -- banded convex alignment --------------------------------------------
+
+    def align_wave(self, problems: Sequence[AlignProblem],
+                   params: Tuple[float, ...]) -> None:
+        if not problems:
+            return
+        buckets = {}
+        for i, p in enumerate(problems):
+            Wp = _pow2(max(p.ref.W, 1), 256)
+            Hp = _pow2(max(p.qry.length, 1), 256)
+            L = _pow2(p.width + 3, 128)
+            buckets.setdefault((Wp, Hp, L), []).append(i)
+        pvec = jnp.asarray(params, dtype=jnp.float32)
+        for (Wp, Hp, L), idxs in buckets.items():
+            B = _pow2(len(idxs), 4)
+            pi = np.zeros((B, 10), dtype=np.int64)
+            pf = np.zeros((B, 2), dtype=np.float32)
+            pi[:, 9] = 1  # empty slots: width 1, zero-length → inert
+            for bi, i in enumerate(idxs):
+                p = problems[i]
+                pi[bi] = (p.ref.ds, p.ref.diff, p.ref.hi, p.ref.W,
+                          p.qry.start, p.qry.length, 1 if p.qry.rev else 0,
+                          p.corridor_mode, p.corridor_i, p.width)
+                pf[bi] = p.corridor_f
+            out = _convex_kernel(self.genome, self.readbuf, jnp.asarray(pi),
+                                 jnp.asarray(pf), pvec, Wp=Wp, Hp=Hp, L=L)
+            packed_ops_dev, scalars_dev = out
+            scalars = np.asarray(scalars_dev)   # [B, 6] i32
+            # exact-ish slice: transfer only the op range actually used
+            t_max = max(problems[i].T for i in idxs)
+            n4 = min(packed_ops_dev.shape[1],
+                     ((t_max + 3) // 4 + 255) // 256 * 256)
+            packed = np.asarray(packed_ops_dev[:, :n4])
+            for bi, i in enumerate(idxs):
+                p = problems[i]
+                (score_i, bx, by, sx, sy, okf) = scalars[bi]
+                p.score = float(np.int32(score_i).view(np.float32))
+                p.best_x, p.best_y = int(bx), int(by)
+                p.stop_x, p.stop_y = int(sx), int(sy)
+                p.ok = bool(okf)
+                p.ops = packed[bi]
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _gather_ref(genome, ds, diff, hi, W, Wp, i32):
+    """[B, Wp] window codes per RefDesc rule."""
+    B = ds.shape[0]
+    i = jnp.arange(Wp, dtype=jnp.int64)[None, :]
+    pos = ds[:, None] + i - diff[:, None]
+    valid = ((i >= diff[:, None]) & (i < W[:, None])
+             & (pos < hi[:, None]) & (pos >= 0))
+    idx = jnp.clip(pos, 0, genome.shape[0] - 1)
+    if i32:
+        idx = idx.astype(jnp.int32)
+    codes = jnp.take(genome, idx.reshape(-1)).reshape(B, Wp)
+    return jnp.where(valid, codes, jnp.uint8(XCODE))
+
+
+def _gather_qry(readbuf, start, length, rev, Qp):
+    """[B, Qp] query codes: read slice, reverse-complemented iff rev."""
+    B = start.shape[0]
+    j = jnp.arange(Qp, dtype=jnp.int64)[None, :]
+    src = jnp.where(rev[:, None] == 1, length[:, None] - 1 - j, j)
+    pos = start[:, None] + src
+    valid = (j < length[:, None]) & (src >= 0)
+    idx = jnp.clip(pos, 0, readbuf.shape[0] - 1).astype(jnp.int32)
+    codes = jnp.take(readbuf, idx.reshape(-1)).reshape(B, Qp)
+    comp = jnp.where(codes < 4, codes ^ 1, codes)
+    codes = jnp.where(rev[:, None] == 1, comp, codes)
+    return jnp.where(valid, codes, jnp.uint8(NCODE))
+
+
+@functools.partial(jax.jit, static_argnames=("Rp", "Qp"))
+def _score_kernel(genome, readbuf, pi, Rp: int, Qp: int):
+    """Batched ungapped local-segment scores (see ngmlr_tpu.ops.ungapped for
+    the semantics proof vs the vendored ssw). pi: int64 [P, 7] =
+    (ds, diff, hi, W, qstart, qlen, qrev). Returns f32 [P]."""
+    i32 = genome.shape[0] < 2 ** 31 - 2
+    ref = _gather_ref(genome, pi[:, 0], pi[:, 1], pi[:, 2], pi[:, 3], Rp, i32)
+    qry = _gather_qry(readbuf, pi[:, 4], pi[:, 5], pi[:, 6], Qp)
+    q = qry.astype(jnp.int32)
+    q_ok = q < 4
+
+    def step(carry, ref_col):
+        h, best = carry
+        rc = ref_col.astype(jnp.int32)[:, None]
+        s = jnp.where((q == rc) & q_ok, 1,
+                      jnp.where(q_ok & (rc < 4), -1, 0))
+        h_new = jnp.maximum(jnp.pad(h[:, :-1], ((0, 0), (1, 0))) + s, 0)
+        return (h_new, jnp.maximum(best, h_new.max(axis=1))), None
+
+    h0 = jnp.zeros(q.shape, dtype=jnp.int32)
+    b0 = jnp.zeros((q.shape[0],), dtype=jnp.int32)
+    (_, best), _ = jax.lax.scan(step, (h0, b0), ref.T, unroll=8)
+    return best.astype(jnp.float32)
+
+
+def _corridor_offs(mode, ci, pf, i_f32, i_int):
+    """Per-row corridor offsets, f32-exact vs the host generators
+    (AlignmentBuffer.cpp:68-197). mode/ci: int32 [B]; pf: f32 [B, 2];
+    i_f32/i_int: [1, H] row index. Returns int32 [B, H]."""
+    k = pf[:, 0:1]
+    d = pf[:, 1:2]
+    full = ci[:, None] + jnp.zeros_like(i_int)
+    linear = i_int - ci[:, None]
+    endpoints = jnp.trunc((i_f32 - d) / k).astype(jnp.int32)
+    anchors = jnp.trunc(i_f32 / k - d).astype(jnp.int32)
+    m = mode[:, None]
+    return jnp.where(m == CORRIDOR_FULL, full,
+                     jnp.where(m == CORRIDOR_LINEAR, linear,
+                               jnp.where(m == CORRIDOR_ENDPOINTS, endpoints,
+                                         anchors)))
+
+
+def _shift_dn(a):   # out[l] = a[l+1]
+    return jnp.concatenate([a[:, 1:], jnp.zeros_like(a[:, :1])], axis=1)
+
+
+def _shift_up(a):   # out[l] = a[l-1]
+    return jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("Wp", "Hp", "L"))
+def _convex_kernel(genome, readbuf, pi, pf, params, Wp: int, Hp: int, L: int):
+    """Fused banded convex-gap fill + on-device backtrack.
+
+    pi: int64 [B, 10] = (ds, diff, hi, W, qstart, qlen, qrev, cmode, ci, width)
+    pf: f32 [B, 2] corridor floats; params: f32 [6] score params.
+
+    Returns (packed_ops uint8 [B, ceil(Tp/4)], scalars int32 [B, 6] =
+    (score bits, best_x, best_y, stop_x, stop_y, ok)).
+    """
+    B = pi.shape[0]
+    Tp = Wp + Hp
+    i32 = genome.shape[0] < 2 ** 31 - 2
+    mat, mis, go, ge, gemin, gdecay = [params[i] for i in range(6)]
+
+    W = pi[:, 3].astype(jnp.int32)
+    H = pi[:, 5].astype(jnp.int32)
+    mode = pi[:, 7].astype(jnp.int32)
+    ci = pi[:, 8].astype(jnp.int32)
+    width = pi[:, 9].astype(jnp.int32)
+
+    ref = _gather_ref(genome, pi[:, 0], pi[:, 1], pi[:, 2], pi[:, 3], Wp, i32)
+    qry = _gather_qry(readbuf, pi[:, 4], pi[:, 5], pi[:, 6], Hp)
+    zpad = jnp.zeros((B, L), dtype=jnp.uint8)
+    ref_pad = jnp.concatenate([zpad, ref, zpad], axis=1)
+    qry_pad = jnp.concatenate([zpad, qry, zpad], axis=1)
+
+    # per-row corridor -> per-wavefront active row window [ymin, ymax]
+    hrow_i = jnp.arange(Hp, dtype=jnp.int32)[None, :]
+    hrow_f = hrow_i.astype(jnp.float32)
+    offs = _corridor_offs(mode, ci, pf, hrow_f, hrow_i)           # [B, Hp]
+    lo = jnp.clip(offs, 0, W[:, None])
+    hi = jnp.maximum(jnp.clip(offs + width[:, None], 0, W[:, None]), lo)
+    row_ok = hrow_i < H[:, None]
+    BIG = jnp.int32(2 ** 30)
+    key_lo = jnp.where(row_ok, hrow_i + lo, BIG)
+    key_hi = jnp.where(row_ok, hrow_i + hi, BIG)
+    ts = jnp.arange(Tp, dtype=jnp.int32)
+    ymin = jax.vmap(lambda k: jnp.searchsorted(k, ts, side="right"))(key_hi)
+    ymax = jax.vmap(lambda k: jnp.searchsorted(k, ts, side="right"))(key_lo) - 1
+    ymin = ymin.astype(jnp.int32)                                  # [B, Tp]
+    ymax = ymax.astype(jnp.int32)
+
+    ymin_t = ymin.T                                                # [Tp, B]
+    ymax_t = ymax.T
+    d1 = jnp.concatenate([ymin_t[:1] * 0, ymin_t[1:] - ymin_t[:-1]], axis=0)
+    d2 = jnp.concatenate([ymin_t[:2] * 0, ymin_t[2:] - ymin_t[:-2]], axis=0)
+
+    lanes = jnp.arange(L, dtype=jnp.int32)[None, :]                # [1, L]
+    BIGI = jnp.int32(2 ** 30)
+
+    def fill_step(carry, xs):
+        s1, dd1, r1, s2, best, by, bx = carry
+        t, ym, yx, dl1, dl2 = xs
+        y = ym[:, None] + lanes                                    # [B, L]
+        x = t - y
+        valid = (lanes <= (yx - ym)[:, None]) & (ym <= yx)[:, None]
+
+        # sequence codes for this wavefront (contiguous slices of padded rows)
+        s_ref = jnp.clip(t - ym + 1, 0, Wp + L)
+        s_qry = jnp.clip(ym + L, 0, Hp + L)
+        rc = jax.vmap(lambda r, s: jax.lax.dynamic_slice(r, (s,), (L,)))(
+            ref_pad, s_ref)[:, ::-1]
+        qc = jax.vmap(lambda r, s: jax.lax.dynamic_slice(r, (s,), (L,)))(
+            qry_pad, s_qry)
+        eq = rc == qc
+
+        # neighbors: left = prev1[l + d1], up = prev1[l + d1 - 1],
+        # diag = prev2[l + d2 - 1]  (window-aligned shifts)
+        def sel1(a):
+            return jnp.where((dl1 == 1)[:, None], _shift_dn(a), a)
+
+        lf_s, lf_d, lf_r = sel1(s1), sel1(dd1), sel1(r1)
+        up_s = jnp.where((dl1 == 1)[:, None], s1, _shift_up(s1))
+        up_d = jnp.where((dl1 == 1)[:, None], dd1, _shift_up(dd1))
+        up_r = jnp.where((dl1 == 1)[:, None], r1, _shift_up(r1))
+        diag_s = jnp.where((dl2 == 0)[:, None], _shift_up(s2),
+                           jnp.where((dl2 == 1)[:, None], s2, _shift_dn(s2)))
+
+        diag_cell = diag_s + jnp.where(eq, mat, mis)
+        ins_ext = up_d == INS
+        up_gap = jnp.minimum(gemin, ge + up_r.astype(jnp.float32) * gdecay)
+        up_cell = jnp.where(ins_ext,
+                            jnp.where(up_s == 0.0, 0.0, up_s + up_gap),
+                            up_s + go)
+        del_ext = lf_d == DEL
+        lf_gap = jnp.minimum(gemin, ge + lf_r.astype(jnp.float32) * gdecay)
+        lf_cell = jnp.where(del_ext,
+                            jnp.where(lf_s == 0.0, 0.0, lf_s + lf_gap),
+                            lf_s + go)
+
+        max_cell = jnp.maximum(jnp.maximum(lf_cell, 0.0),
+                               jnp.maximum(diag_cell, up_cell))
+        c1 = del_ext & (max_cell == lf_cell)
+        c2 = (~c1) & ins_ext & (max_cell == up_cell)
+        c3 = (~c1) & (~c2) & (max_cell == diag_cell)
+        c4 = (~c1) & (~c2) & (~c3) & (max_cell == lf_cell)
+        c5 = (~c1) & (~c2) & (~c3) & (~c4) & (max_cell == up_cell)
+        new_d = jnp.where(c1 | c4, DEL,
+                          jnp.where(c2 | c5, INS,
+                                    jnp.where(c3, DIAG, STOP))).astype(jnp.uint8)
+        new_r = jnp.where(c1, lf_r + 1,
+                          jnp.where(c2, up_r + 1,
+                                    jnp.where(c4 | c5, 1, 0))).astype(jnp.int32)
+        new_s = jnp.where(new_d == STOP, 0.0, max_cell)
+
+        new_s = jnp.where(valid, new_s, 0.0)
+        new_d = jnp.where(valid, new_d, jnp.uint8(STOP))
+        new_r = jnp.where(valid, new_r, 0)
+
+        cand = jnp.where(valid, new_s, -jnp.inf)
+        m = cand.max(axis=1)
+        ys = jnp.where(valid & (cand == m[:, None]), y, BIGI)
+        y_m = ys.min(axis=1)
+        x_m = t - y_m
+        better = (m > best) | ((m == best) & ((y_m < by)
+                                              | ((y_m == by) & (x_m < bx))))
+        best = jnp.where(better, m, best)
+        by = jnp.where(better, y_m, by)
+        bx = jnp.where(better, x_m, bx)
+        return (new_s, new_d, new_r, s1, best, by, bx), new_d
+
+    zf = jnp.zeros((B, L), jnp.float32)
+    zd = jnp.zeros((B, L), jnp.uint8)
+    zr = jnp.zeros((B, L), jnp.int32)
+    best0 = jnp.full((B,), -1.0, jnp.float32)
+    z0 = jnp.zeros((B,), jnp.int32)
+    (_, _, _, _, best, by, bx), dirs = jax.lax.scan(
+        fill_step, (zf, zd, zr, zf, best0, z0, z0),
+        (ts, ymin_t, ymax_t, d1, d2))
+
+    # ---- backtrack: reverse sweep over wavefronts --------------------------
+    k_f = pf[:, 0]
+    d_f = pf[:, 1]
+    width_f = width.astype(jnp.float32)
+
+    def offs_at(yv):
+        yf = yv.astype(jnp.float32)
+        full = ci
+        linear = yv - ci
+        endpoints = jnp.trunc((yf - d_f) / k_f).astype(jnp.int32)
+        anchors = jnp.trunc(yf / k_f - d_f).astype(jnp.int32)
+        return jnp.where(mode == CORRIDOR_FULL, full,
+                         jnp.where(mode == CORRIDOR_LINEAR, linear,
+                                   jnp.where(mode == CORRIDOR_ENDPOINTS,
+                                             endpoints, anchors)))
+
+    def valid_path(xv, yv):
+        """AlignmentMatrixFast::validPath (AlignmentMatrixFast.cpp:213-220)."""
+        o = offs_at(yv).astype(jnp.float32)
+        min_c = jnp.trunc(o + jnp.float32(0.1) * width_f).astype(jnp.int32)
+        max_c = jnp.trunc(min_c.astype(jnp.float32) + width_f
+                          - jnp.float32(0.1) * width_f).astype(jnp.int32)
+        return (xv > min_c) & (xv < max_c)
+
+    WALK, DONE, FAIL = 0, 1, 2
+    state0 = jnp.where(by > 0, WALK, FAIL)
+
+    def bt_step(carry, xs):
+        x, y, state, sx, sy = carry
+        dirs_t, ym, t = xs
+        here = (state == WALK) & (x + y == t)
+        lane = y - ym
+        onehot = (lanes == lane[:, None]) & here[:, None]
+        d = jnp.max(jnp.where(onehot, dirs_t, jnp.uint8(0)), axis=1)
+        d = jnp.where((lane >= 0) & (lane < L), d, jnp.uint8(STOP))
+
+        stop_now = here & (d == STOP)
+        bad = here & (~stop_now) & ~valid_path(x, y)
+        emit = jnp.where(here & (~stop_now) & (~bad), d, jnp.uint8(0))
+
+        nx = jnp.where(emit == DIAG, x - 1, jnp.where(emit == DEL, x - 1, x))
+        ny = jnp.where(emit == DIAG, y - 1, jnp.where(emit == INS, y - 1, y))
+        off_matrix = (emit != 0) & ((nx < 0) | (ny < 0))
+
+        sx = jnp.where(stop_now | off_matrix, nx, sx)
+        sy = jnp.where(stop_now | off_matrix, ny, sy)
+        state = jnp.where(stop_now | off_matrix, DONE,
+                          jnp.where(bad, FAIL, state))
+        return (nx, ny, state, sx, sy), emit
+
+    (fx, fy, fstate, sx, sy), ops = jax.lax.scan(
+        bt_step, (bx, by, state0, z0 - 1, z0 - 1),
+        (dirs, ymin_t, ts), reverse=True)
+
+    ok = (fstate == DONE).astype(jnp.int32)
+    scalars = jnp.stack([
+        jax.lax.bitcast_convert_type(best, jnp.int32),
+        bx, by, sx, sy, ok], axis=1)
+
+    opsT = ops.T                                                # [B, Tp]
+    pad = (-Tp) % 4
+    if pad:
+        opsT = jnp.pad(opsT, ((0, 0), (0, pad)))
+    o4 = opsT.reshape(B, (Tp + pad) // 4, 4)
+    packed = (o4[:, :, 0] | (o4[:, :, 1] << 2) | (o4[:, :, 2] << 4)
+              | (o4[:, :, 3] << 6)).astype(jnp.uint8)
+    return packed, scalars

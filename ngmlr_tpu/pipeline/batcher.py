@@ -1,54 +1,69 @@
-"""Wave batcher: coalesce per-read alignment requests into batched kernels.
+"""Wave batcher: coalesce per-read device requests into batched kernels.
 
 The reference runs its whole pipeline per-thread, one alignment at a time
-(CS.cpp:412-503). On TPU the win comes from batching many banded DP
-problems into one wavefront launch (ngmlr_tpu.ops.convex.run_batch already
-buckets by shape). The per-read control flow (retry loops, SV realignment,
-overlap trimming) is inherently sequential *within* a read but independent
-*across* reads, so:
+(CS.cpp:412-503). On TPU the win comes from batching many banded DP /
+scoring problems into single kernel launches — especially here, where every
+host<->device round trip costs ~25 ms over the tunnel. The per-read control
+flow (retry loops, SV realignment, overlap trimming) is inherently
+sequential *within* a read but independent *across* reads, so:
 
   * each read's processing runs in a lightweight worker thread,
-  * every `align_banded` call routes through the active `WaveBatcher`,
-    blocking its worker,
-  * when all live workers are blocked, the coordinator fires ONE
-    `run_batch` over every pending BandSpec and wakes the workers.
+  * every device request (banded alignment or scoring probe) routes through
+    the active `WaveBatcher`, blocking its worker,
+  * when all live workers are blocked, the coordinator fires the pending
+    requests as a handful of batched kernel launches and wakes the workers.
 
-Wall-clock per read batch ≈ (max sequential alignment depth of any read) ×
-(batched kernel launches) instead of (total alignments) × (single launches).
+Wall-clock per read batch ≈ (max sequential request depth of any read) ×
+(wave latency) instead of (total requests) × (single-launch latency).
 """
 
 import threading
-from typing import Callable, List, Optional
+from typing import Callable, List, Optional, Sequence
 
-from ..ops.convex import BandSpec, run_batch, WavefrontResult
+from ..ops.device_engine import AlignProblem, ScoreProblem, DeviceContext
 
 
 class WaveBatcher:
-    def __init__(self, max_workers: int = 128):
+    def __init__(self, ctx: DeviceContext, max_workers: int = 192):
+        self.ctx = ctx
         self.max_workers = max_workers
         self._lock = threading.Condition()
-        self._pending: List = []        # (spec, params, slot)
+        self._pending_align: List = []    # (problem, params, event)
+        self._pending_score: List = []    # (problems, event)
         self._n_active = 0
         self._n_blocked = 0
 
     # -- worker side -------------------------------------------------------
 
-    def align(self, spec: BandSpec, params) -> WavefrontResult:
-        slot = {"result": None, "event": threading.Event()}
+    def align(self, problem: AlignProblem, params) -> AlignProblem:
+        ev = threading.Event()
         with self._lock:
-            self._pending.append((spec, params, slot))
+            self._pending_align.append((problem, tuple(params), ev))
             self._n_blocked += 1
             self._lock.notify_all()
-        slot["event"].wait()
+        ev.wait()
         with self._lock:
             self._n_blocked -= 1
-        return slot["result"]
+        return problem
+
+    def score(self, problems: Sequence[ScoreProblem]) -> None:
+        """Blocks until every problem's .result is filled."""
+        if not problems:
+            return
+        ev = threading.Event()
+        with self._lock:
+            self._pending_score.append((list(problems), ev))
+            self._n_blocked += 1
+            self._lock.notify_all()
+        ev.wait()
+        with self._lock:
+            self._n_blocked -= 1
 
     # -- coordinator -------------------------------------------------------
 
     def map_jobs(self, jobs: List[Callable[[], object]]) -> List[object]:
-        """Run jobs (each may call .align() any number of times), batching
-        align requests across them. Returns job results in order."""
+        """Run jobs (each may issue device requests any number of times),
+        batching requests across them. Returns job results in order."""
         results: List[object] = [None] * len(jobs)
         errors: List[Optional[BaseException]] = [None] * len(jobs)
         queue = list(enumerate(jobs))
@@ -75,13 +90,11 @@ class WaveBatcher:
                 t.start()
 
             while True:
-                # wait until every live worker is blocked on an align request
                 while self._n_active > 0 and self._n_blocked < self._n_active:
                     self._lock.wait()
                 if self._n_active == 0 and not queue:
                     break
                 if queue and self._n_active < self.max_workers:
-                    # top up the worker pool before firing a wave
                     refill = queue[: self.max_workers - self._n_active]
                     queue = queue[len(refill):]
                     for idx, job in refill:
@@ -91,16 +104,18 @@ class WaveBatcher:
                         threads.append(t)
                         t.start()
                     continue
-                if not self._pending:
+                if not self._pending_align and not self._pending_score:
                     # workers are between wake-up and the blocked-count
                     # decrement; yield briefly instead of spinning
                     self._lock.wait(0.001)
                     continue
-                batch = self._pending
-                self._pending = []
+                aligns = self._pending_align
+                scores = self._pending_score
+                self._pending_align = []
+                self._pending_score = []
                 self._lock.release()
                 try:
-                    self._fire(batch)
+                    self._fire(aligns, scores)
                 finally:
                     self._lock.acquire()
 
@@ -111,20 +126,22 @@ class WaveBatcher:
                 raise e
         return results
 
-    def _fire(self, batch):
-        # group by params (usually all identical)
+    def _fire(self, aligns, scores):
         by_params = {}
-        for spec, params, slot in batch:
-            by_params.setdefault(tuple(params), []).append((spec, slot))
+        for problem, params, ev in aligns:
+            by_params.setdefault(params, []).append((problem, ev))
         for params, items in by_params.items():
-            specs = [spec for spec, _ in items]
-            results = run_batch(specs, params=params)
-            for (spec, slot), res in zip(items, results):
-                slot["result"] = res
-                slot["event"].set()
+            self.ctx.align_wave([p for p, _ in items], params)
+            for _, ev in items:
+                ev.set()
+        if scores:
+            flat = [p for probs, _ in scores for p in probs]
+            self.ctx.score_wave(flat)
+            for _, ev in scores:
+                ev.set()
 
 
-# Active batcher (None = run single alignments synchronously)
+# Active batcher (None = run single requests synchronously)
 _current: Optional[WaveBatcher] = None
 
 

@@ -17,11 +17,12 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..config import Config
-from ..io.reads import Read
+from ..io.reads import Read, SeqView
 from ..io.reference import ReferenceGenome
 from ..io.fastx import reverse_complement
-from ..ops.ungapped import score_pair_numpy, score_batch
-from ..align.aligner import AlignerConfig, compute_alignment
+from ..ops.device_engine import ScoreProblem
+from ..ops import device_engine
+from ..align.aligner import AlignerConfig, RefWin, compute_alignment
 from ..align.cigar import Align
 from ..chain.structs import (Anchor, Interval, c_round, can_span_deletion_insertion,
                              get_distance_on_read, get_distance_on_ref,
@@ -158,44 +159,64 @@ class LongReadProcessor:
     # -- read sequence extraction (extractReadSeq, AlignmentBuffer.cpp:1515-1549)
 
     def extract_read_seq(self, read: Read, on_read_start: int, read_seq_len: int,
-                         is_reverse: bool, rev_comp: bool = False) -> Optional[bytes]:
+                         is_reverse: bool, rev_comp: bool = False) -> Optional[SeqView]:
         if read_seq_len <= 0 or read_seq_len > 200000000:
             return None
-        sub = read.seq[on_read_start:on_read_start + read_seq_len]
-        out = reverse_complement(sub) if is_reverse else sub
-        if rev_comp:
-            out = reverse_complement(out)
-        return out
+        return SeqView(read, on_read_start, read_seq_len,
+                       is_reverse != rev_comp)
 
-    def extract_ref_window(self, on_ref_start: int, on_ref_stop: int) -> Optional[bytes]:
+    def extract_ref_window(self, on_ref_start: int, on_ref_stop: int) -> Optional[RefWin]:
         """extractReferenceSequenceForAlignment (AlignmentBuffer.cpp:199-223)."""
         if on_ref_start >= on_ref_stop:
             return None
         ref_seq_length = on_ref_stop - on_ref_start + 1
         if ref_seq_length <= 0:
             return None
-        return self.ref.decode_exact(on_ref_start, ref_seq_length)
+        data = self.ref.decode_exact(on_ref_start, ref_seq_length)
+        if data is None:
+            return None
+        return RefWin(self.ref.decode_exact_desc(on_ref_start, ref_seq_length),
+                      data)
+
+    @staticmethod
+    def _score_wave(problems: List[ScoreProblem]) -> None:
+        from . import batcher as _batcher
+        wb = _batcher.current()
+        if wb is not None:
+            wb.score(problems)
+        else:
+            device_engine.current().score_wave(problems)
 
     # ------------------------------------------------------------------
     # gap-overlap machinery (translocation guard)
     # ------------------------------------------------------------------
 
-    def score_interval(self, iv: Interval, read: Read) -> float:
-        """scoreInterval (AlignmentBuffer.cpp:2515-2548)."""
+    def _interval_score_problem(self, iv: Interval,
+                                read: Read) -> Optional[ScoreProblem]:
+        """scoreInterval (AlignmentBuffer.cpp:2515-2548) as a device request;
+        None means the reference would return 0.0 without scoring."""
         if iv.on_read_start >= iv.on_read_stop:
-            return 0.0
+            return None
         read_seq = self.extract_read_seq(read, iv.on_read_start,
                                          iv.length_on_read(), iv.is_reverse)
         if read_seq is None:
-            return 0.0
+            return None
         on_ref_start = iv.on_ref_stop if iv.is_reverse else iv.on_ref_start
         on_ref_stop = iv.on_ref_start if iv.is_reverse else iv.on_ref_stop
         if on_ref_start >= on_ref_stop:
+            return None
+        ref_win = self.extract_ref_window(on_ref_start, on_ref_stop)
+        if ref_win is None:
+            return None
+        return ScoreProblem(ref_win.desc, read_seq.desc())
+
+    def score_interval(self, iv: Interval, read: Read) -> float:
+        """scoreInterval (AlignmentBuffer.cpp:2515-2548)."""
+        prob = self._interval_score_problem(iv, read)
+        if prob is None:
             return 0.0
-        ref_seq = self.extract_ref_window(on_ref_start, on_ref_stop)
-        if ref_seq is None:
-            return 0.0
-        return score_pair_numpy(ref_seq, read_seq)
+        self._score_wave([prob])
+        return prob.result
 
     def _gap_overlaps(self, gap: Interval, all_intervals: List,
                       read: Optional[Read]) -> bool:
@@ -230,8 +251,11 @@ class LongReadProcessor:
                         iv.on_ref_start = node.on_ref_start
                         iv.on_ref_stop = node.on_ref_stop
                         iv.is_reverse = node.is_reverse
-                        s1 = self.score_interval(iv, read) / iv.length_on_read()
-                        s2 = self.score_interval(gap, read) / gap.length_on_read()
+                        p1 = self._interval_score_problem(iv, read)
+                        p2 = self._interval_score_problem(gap, read)
+                        self._score_wave([p for p in (p1, p2) if p is not None])
+                        s1 = (p1.result if p1 else 0.0) / iv.length_on_read()
+                        s2 = (p2.result if p2 else 0.0) / gap.length_on_read()
                         better_score = s1 > s2
                 overlaps = overlaps or (overlap_percent > min_overlap and better_score)
         return overlaps
@@ -315,7 +339,7 @@ class LongReadProcessor:
         corridor_from_length = int(abs(on_read) * f32(0.20))
         return min(8192, max(corridor_from_diff, corridor_from_length))
 
-    def align_interval(self, read: Read, iv: Interval, read_seq: Optional[bytes],
+    def align_interval(self, read: Read, iv: Interval, read_seq: Optional[SeqView],
                        realign: bool, full_alignment: bool) -> Optional[Align]:
         """alignInterval (AlignmentBuffer.cpp:1469-1513)."""
         if read_seq is None:
@@ -323,7 +347,7 @@ class LongReadProcessor:
         min_read_seq_length = 10
         if (abs(iv.on_read_start - iv.on_read_stop) == 0
                 or abs(iv.on_ref_start - iv.on_ref_stop) == 0
-                or len(read_seq) < min_read_seq_length):
+                or read_seq.length < min_read_seq_length):
             return None
         corridor = self.estimate_corridor(iv)
         if iv.is_reverse:
@@ -332,15 +356,15 @@ class LongReadProcessor:
         else:
             qstart = iv.on_read_start
             qend = read.length - iv.on_read_stop
-        ref_window = self.extract_ref_window(iv.on_ref_start, iv.on_ref_stop)
-        if ref_window is None:
+        ref_win = self.extract_ref_window(iv.on_ref_start, iv.on_ref_stop)
+        if ref_win is None:
             return None
         return compute_alignment(iv, corridor, read_seq, qstart, qend,
-                                 read.length, ref_window, self.acfg,
+                                 read.length, ref_win, self.acfg,
                                  realign=realign, full_alignment=full_alignment,
                                  short_read=False, read_part_length=self.rpl)
 
-    def check_for_sv(self, align: Align, iv: Interval, read_part_seq: bytes,
+    def check_for_sv(self, align: Align, iv: Interval, read_part_seq: SeqView,
                      inv_mid_ref: int, inv_mid_read: int, inversion_length: int,
                      read: Read) -> int:
         """checkForSV (AlignmentBuffer.cpp:1158-1265)."""
@@ -351,19 +375,22 @@ class LongReadProcessor:
         check_loc = (iv.on_ref_start + align.position_offset + inv_mid_ref
                      - ref_check_length - inversion_length // 2)
         ref_seq_length = inversion_length + 2 * ref_check_length
-        ref_seq = self.ref.decode_window(check_loc, ref_seq_length)
-        if ref_seq is None:
-            ref_seq = b""
-        full_len = len(read_part_seq)
-        read_seq = b""
+        ref_desc = self.ref.decode_window_desc(check_loc, ref_seq_length)
+        if ref_desc is None:
+            from ..ops.device_engine import RefDesc
+            ref_desc = RefDesc(0, 0, 0, 0)   # empty reference -> scores 0
+        full_len = read_part_seq.length
+        read_seq = None
         if read_check_length <= inv_mid_read and (inv_mid_read + read_check_length) < full_len:
-            read_seq = read_part_seq[inv_mid_read - read_check_length:
-                                     inv_mid_read + read_check_length]
-        if len(read_seq) == 0:
+            read_seq = read_part_seq.sub(inv_mid_read - read_check_length,
+                                         inv_mid_read + read_check_length)
+        if read_seq is None or read_seq.length == 0:
             return SV_NONE
-        rev_read = reverse_complement(read_seq)
-        score_fwd = score_pair_numpy(ref_seq, read_seq)
-        score_rev = score_pair_numpy(ref_seq, rev_read)
+        p_fwd = ScoreProblem(ref_desc, read_seq.desc())
+        p_rev = ScoreProblem(ref_desc, read_seq.revcomp().desc())
+        self._score_wave([p_fwd, p_rev])
+        score_fwd = p_fwd.result
+        score_rev = p_rev.result
         min_score = 1.0 * read_check_length / 4.0
         ratio = (score_rev / score_fwd) if score_fwd != 0 else float("inf")
         if score_fwd == 0 and score_rev == 0:

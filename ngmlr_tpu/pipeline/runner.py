@@ -18,12 +18,15 @@ import sys
 import time
 from typing import IO, List, Optional
 
+import numpy as np
+
 from ..config import Config
 from ..io.reads import Read, read_batches
-from ..io.reference import ReferenceGenome
+from ..io.reference import ReferenceGenome, _CHAR2CODE
 from ..index.kmer_index import KmerIndex
 from ..seed.candidates import search_batch
 from ..align.aligner import AlignerConfig
+from ..ops import device_engine
 from ..out.sam import SamWriter
 from .longread import LongReadProcessor
 from .score_stage import score_read_batch
@@ -44,9 +47,26 @@ class Pipeline:
             kmer_skip=cfg.kmer_skip, bin_size=cfg.bin_size,
             max_prefix_freq=cfg.max_prefix_freq,
             use_cache=use_cache, skip_save=cfg.skip_save)
+        self.ctx = device_engine.DeviceContext(self.ref.codes)
+        device_engine.set_current(self.ctx)
         self.processor = LongReadProcessor(self.ref, self.cfg)
         self.acfg = self.processor.acfg
         self.stats = {"reads": 0, "mapped": 0, "unmapped": 0}
+
+    def _upload_batch(self, batch: List[Read]):
+        """Concatenate the batch's read codes and upload them once; every
+        query in the pipeline becomes a (offset, len, rev) view of this."""
+        total = sum(len(r.seq) for r in batch if not r.empty)
+        buf = np.empty(total, dtype=np.uint8)
+        off = 0
+        for r in batch:
+            if r.empty:
+                continue
+            n = len(r.seq)
+            buf[off:off + n] = _CHAR2CODE[np.frombuffer(r.seq, dtype=np.uint8)]
+            r.buf_offset = off
+            off += n
+        self.ctx.upload_reads(buf)
 
     def run(self, query_path: str, out: IO[bytes], progress: bool = False):
         writer = SamWriter(self.ref, self.cfg, out)
@@ -67,6 +87,7 @@ class Pipeline:
     def _run_batch(self, batch: List[Read], writer: SamWriter):
         cfg = self.cfg
         rpl = cfg.read_part_length
+        self._upload_batch(batch)
 
         # --- candidate search for every subread / short read at once ------
         seqs: List[bytes] = []
@@ -125,7 +146,7 @@ class Pipeline:
                 job_key[ri] = len(jobs)
                 jobs.append(make_long_job(read, scored_by_ri[ri]))
 
-        wb = _batcher.WaveBatcher()
+        wb = _batcher.WaveBatcher(self.ctx)
         _batcher.set_current(wb)
         try:
             outcomes = wb.map_jobs(jobs)

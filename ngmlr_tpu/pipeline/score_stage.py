@@ -18,10 +18,10 @@ import math
 import numpy as np
 
 from ..config import Config
-from ..io.reads import Read
+from ..io.reads import Read, SeqView
 from ..io.reference import ReferenceGenome
-from ..io.fastx import reverse_complement
-from ..ops.ungapped import score_batch
+from ..ops.device_engine import RefDesc, ScoreProblem
+from ..ops import device_engine
 from ..seed.candidates import SubreadCandidates
 from .longread import ScoredSubread
 
@@ -53,32 +53,31 @@ def score_read_batch(ref: ReferenceGenome, cfg: Config,
     qry_max_len = rpl + 10
     ref_max_len = ((qry_max_len + corridor) | 1) + 1   # ScoreBuffer.h:72
 
-    refs: List[bytes] = []
-    qrys: List[bytes] = []
+    problems: List[ScoreProblem] = []
     owners: List[tuple] = []
+    empty_ref = RefDesc(0, 0, 0, 0)   # out-of-range window -> scores 0
 
     for ri, (read, subs) in enumerate(zip(reads, candidates_per_read)):
-        n_parts = read.subread_count(rpl)
         for j, cand in enumerate(subs):
             if len(cand.locations) == 0:
                 continue
-            sub_seq = read.subread_seq(j, rpl)
-            sub_rev = reverse_complement(sub_seq)
+            sub_len = len(read.subread_seq(j, rpl))
             for k in range(len(cand.locations)):
                 loc = int(cand.locations[k])
-                window = ref.decode_window(loc - (corridor >> 1), ref_max_len)
-                if window is None:
-                    window = b"N" * ref_max_len
-                refs.append(window)
-                qrys.append(sub_rev if cand.reverse[k] else sub_seq)
+                desc = ref.decode_window_desc(loc - (corridor >> 1), ref_max_len)
+                if desc is None:
+                    desc = empty_ref
+                view = SeqView(read, j * rpl, sub_len, bool(cand.reverse[k]))
+                problems.append(ScoreProblem(desc, view.desc()))
                 owners.append((ri, j, k))
 
-    scores = score_batch(refs, qrys) if refs else np.zeros(0, np.float32)
+    if problems:
+        device_engine.current().score_wave(problems)
 
     # scatter back
     score_map = {}
-    for (owner, s) in zip(owners, scores):
-        score_map.setdefault(owner[:2], {})[owner[2]] = float(s)
+    for (owner, p) in zip(owners, problems):
+        score_map.setdefault(owner[:2], {})[owner[2]] = float(p.result)
 
     out: List[List[ScoredSubread]] = []
     for ri, (read, subs) in enumerate(zip(reads, candidates_per_read)):

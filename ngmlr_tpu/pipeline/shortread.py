@@ -10,14 +10,13 @@ from typing import List, Tuple
 import numpy as np
 
 from ..config import Config
-from ..io.reads import Read
+from ..io.reads import Read, SeqView
 from ..io.reference import ReferenceGenome
-from ..io.fastx import reverse_complement
-from ..ops.ungapped import score_batch
-from ..align.aligner import AlignerConfig, compute_alignment
+from ..ops.device_engine import RefDesc, ScoreProblem
+from ..align.aligner import AlignerConfig, RefWin, compute_alignment
 from ..chain.structs import Interval
 from ..seed.candidates import SubreadCandidates
-from .longread import AlignmentRecord
+from .longread import AlignmentRecord, LongReadProcessor
 from .score_stage import compute_mq
 
 f32 = np.float32
@@ -43,16 +42,18 @@ def process_short_read(ref: ReferenceGenome, cfg: Config, read: Read,
 
     # -- score candidates (corridor len*0.3+256; window len+corridor)
     corridor = int(read.length * 0.3 + 256)
-    refs, qrys = [], []
-    rev_seq = reverse_complement(read.seq)
+    fwd_view = SeqView(read, 0, read.length, False)
+    rev_view = SeqView(read, 0, read.length, True)
+    problems = []
     for i in range(len(locs)):
-        window = ref.decode_window(int(locs[i]) - (corridor >> 1),
-                                   read.length + corridor)
-        if window is None:
-            window = b"N" * (read.length + corridor)
-        refs.append(window)
-        qrys.append(rev_seq if revs[i] else read.seq)
-    scores = score_batch(refs, qrys)
+        desc = ref.decode_window_desc(int(locs[i]) - (corridor >> 1),
+                                      read.length + corridor)
+        if desc is None:
+            desc = RefDesc(0, 0, 0, 0)
+        problems.append(ScoreProblem(
+            desc, (rev_view if revs[i] else fwd_view).desc()))
+    LongReadProcessor._score_wave(problems)
+    scores = np.asarray([p.result for p in problems], dtype=np.float32)
 
     sorder = np.argsort(-scores, kind="stable")
     locs, revs, scores = locs[sorder], revs[sorder], scores[sorder]
@@ -74,15 +75,19 @@ def process_short_read(ref: ReferenceGenome, cfg: Config, read: Read,
         iv.is_reverse = bool(revs[k])
         short_read_corridor = cfg.read_part_length + 2 * ref_extend
 
-        read_part_seq = rev_seq if iv.is_reverse else read.seq
-        ref_window = None
+        read_part_seq = rev_view if iv.is_reverse else fwd_view
+        ref_win = None
         if iv.on_ref_start < iv.on_ref_stop:
             ref_seq_length = iv.on_ref_stop - iv.on_ref_start + 1
-            ref_window = ref.decode_exact(iv.on_ref_start, ref_seq_length)
+            data = ref.decode_exact(iv.on_ref_start, ref_seq_length)
+            if data is not None:
+                ref_win = RefWin(
+                    ref.decode_exact_desc(iv.on_ref_start, ref_seq_length),
+                    data)
         align = None
-        if ref_window is not None:
+        if ref_win is not None:
             align = compute_alignment(iv, short_read_corridor, read_part_seq,
-                                      0, 0, read.length, ref_window, acfg,
+                                      0, 0, read.length, ref_win, acfg,
                                       short_read=True,
                                       read_part_length=cfg.read_part_length)
         mapped = align is not None and align.score > 0.0

@@ -81,8 +81,8 @@ def search_batch(index: KmerIndex, seqs: List[bytes], sensitivity: float = 0.8,
     read_lens = np.asarray([len(s) for s in seqs], dtype=np.int64)
 
     rc = revcomp_prefix(prefixes, k)
-    fwd_cnt = index.counts_for(prefixes)
-    rev_cnt = index.counts_for(rc)
+    fwd_start, fwd_cnt = index.bucket_of(prefixes)
+    rev_start, rev_cnt = index.bucket_of(rc)
 
     # kCount bookkeeping (CS.cpp:67-69) — dead for MQ (see score_stage) but
     # kept for parity/debugging
@@ -91,22 +91,21 @@ def search_batch(index: KmerIndex, seqs: List[bytes], sensitivity: float = 0.8,
     mq_zero = k_count > ((read_lens - k + 1) * 0.9).astype(np.int64)
 
     # --- expand hits into votes -------------------------------------------
-    def expand(cnt, pref, corr):
+    def expand(cnt, starts, corr):
         total = int(cnt.sum())
         if total == 0:
             z = np.zeros(0, np.int64)
             return z, z, z, z
         rep_sub = np.repeat(sub_idx, cnt)
         rep_emit = np.repeat(emit_idx, cnt)
-        starts = index.bucket_start[pref]
         offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
         locs = index.positions[np.repeat(starts, cnt) + offs]
         bins = (locs - np.repeat(corr, cnt)) >> bin_size
         return rep_sub, bins, rep_emit, offs
 
-    fwd = expand(fwd_cnt, prefixes, positions)
+    fwd = expand(fwd_cnt, fwd_start, positions)
     rev_corr = read_lens[sub_idx] - (positions + k)
-    rev = expand(rev_cnt, rc, rev_corr)
+    rev = expand(rev_cnt, rev_start, rev_corr)
 
     sub_all = np.concatenate([fwd[0], rev[0]])
     bins_all = np.concatenate([fwd[1], rev[1]])

@@ -73,7 +73,11 @@ def test_index_build_and_lookup(tmp_path):
     idx = KmerIndex.build(ref, k=k, kmer_skip=2, bin_size=4)
     # every stored position decodes to a k-mer whose prefix matches its bucket
     total = 0
-    for prefix in np.nonzero(np.diff(idx.bucket_start))[0][:50]:
+    if idx.uniq_prefix is not None:
+        nonempty = idx.uniq_prefix[np.diff(idx.bucket_start) > 0]
+    else:
+        nonempty = np.nonzero(np.diff(idx.bucket_start))[0]
+    for prefix in nonempty[:50]:
         for pos in idx.lookup(int(prefix)):
             total += 1
             window = ref.decode_window(int(pos), k + 2)[:k]
