@@ -54,10 +54,11 @@ CORRIDOR_FULL, CORRIDOR_LINEAR, CORRIDOR_ENDPOINTS, CORRIDOR_ANCHORS = 0, 1, 2, 
 MAX_SEQ_LEN = 100000  # ssw guard (StrippedSW.h:87)
 
 
-# int64 genome positions (> 2^31 for human-scale concat coordinates) must
-# not silently truncate; every kernel dtype in this file is explicit, so
-# enabling x64 does not change any f32 arithmetic.
-jax.config.update("jax_enable_x64", True)
+# Genome positions are uint32 on device (human-scale concat coordinates
+# exceed int31 but fit uint32 — the reference itself caps a TableUnit at
+# 2^32-1 positions, PrefixTable.cpp:24). x64 mode is deliberately NOT
+# enabled: the axon Mosaic compile helper rejects gridded Pallas kernels
+# under x64, and nothing here needs int64 on device.
 
 
 def _enable_compilation_cache():
@@ -157,15 +158,23 @@ class DeviceContext:
         self.readbuf = None
         self.readbuf_len = 0
         self._i32 = self.genome_len < 2 ** 31 - 2
+        # observability (the reference's csTime/scoreTime/alignTime split,
+        # NGMStats.h:11-54): wall seconds + launch/problem counts per stage
+        self.stats = {"score_s": 0.0, "score_waves": 0, "score_problems": 0,
+                      "align_s": 0.0, "align_waves": 0, "align_problems": 0,
+                      "upload_s": 0.0, "cells": 0}
 
     def upload_reads(self, read_codes: np.ndarray):
         """Upload the concatenated code buffer of the current read batch."""
+        import time
+        t0 = time.perf_counter()
         # pad so clipped gathers never read past the end
         n = _pow2(len(read_codes) + 8, 4096)
         buf = np.full(n, NCODE, dtype=np.uint8)
         buf[: len(read_codes)] = read_codes
         self.readbuf = jax.device_put(buf)
         self.readbuf_len = len(read_codes)
+        self.stats["upload_s"] += time.perf_counter() - t0
 
     # -- scoring -----------------------------------------------------------
 
@@ -174,6 +183,8 @@ class DeviceContext:
         StrippedSW semantics — see ngmlr_tpu.ops.ungapped)."""
         if not problems:
             return
+        import time
+        t0 = time.perf_counter()
         buckets = {}
         for i, p in enumerate(problems):
             Rp = _pow2(max(p.ref.W, 1), 64)
@@ -181,13 +192,17 @@ class DeviceContext:
             buckets.setdefault((Rp, Qp), []).append(i)
         for (Rp, Qp), idxs in buckets.items():
             P = _pow2(len(idxs), 8)
-            pi = np.zeros((P, 7), dtype=np.int64)
+            pu = np.zeros((P, 2), dtype=np.uint32)   # ds, hi
+            pi = np.zeros((P, 5), dtype=np.int32)    # diff, W, qstart, qlen, qrev
             for bi, i in enumerate(idxs):
                 p = problems[i]
-                pi[bi] = (p.ref.ds, p.ref.diff, p.ref.hi, p.ref.W,
+                pu[bi] = (p.ref.ds, p.ref.hi)
+                pi[bi] = (p.ref.diff, p.ref.W,
                           p.qry.start, p.qry.length, 1 if p.qry.rev else 0)
-            scores = _score_kernel(self.genome, self.readbuf,
-                                   jnp.asarray(pi), Rp=Rp, Qp=Qp)
+            s_impl = ("pallas" if jax.default_backend() == "tpu"
+                      and not os.environ.get("NGMLR_TPU_NO_PALLAS") else "scan")
+            scores = _score_kernel(self.genome, self.readbuf, jnp.asarray(pu),
+                                   jnp.asarray(pi), Rp=Rp, Qp=Qp, impl=s_impl)
             scores = np.asarray(scores)
             for bi, i in enumerate(idxs):
                 p = problems[i]
@@ -196,6 +211,26 @@ class DeviceContext:
                     p.result = -1.0
                 else:
                     p.result = float(scores[bi])
+            self.stats["score_waves"] += 1
+            self.stats["cells"] += len(idxs) * Rp * Qp
+        self.stats["score_problems"] += len(problems)
+        self.stats["score_s"] += time.perf_counter() - t0
+
+    @staticmethod
+    def _convex_impl(Wp: int, Hp: int, L: int) -> Tuple[str, int]:
+        """Pick the kernel implementation + wavefront block size for a
+        bucket: Pallas on TPU when the working set fits VMEM, else the
+        pure-XLA scan."""
+        if (jax.default_backend() != "tpu"
+                or os.environ.get("NGMLR_TPU_NO_PALLAS")):
+            return "scan", 256
+        K = max(32, min(256, 65536 // L))
+        vmem = (8 * 4 * (Wp + Hp + 8 * L)      # i32 sequence rows
+                + 8 * K * L * 4                 # dirs accumulator
+                + 3 * 8 * K * L)                # dirs in/out blocks (u8)
+        if vmem > 10 * 1024 * 1024:
+            return "scan", 256
+        return "pallas", K
 
     # -- banded convex alignment --------------------------------------------
 
@@ -203,6 +238,8 @@ class DeviceContext:
                    params: Tuple[float, ...]) -> None:
         if not problems:
             return
+        import time
+        t0 = time.perf_counter()
         buckets = {}
         for i, p in enumerate(problems):
             Wp = _pow2(max(p.ref.W, 1), 256)
@@ -211,18 +248,23 @@ class DeviceContext:
             buckets.setdefault((Wp, Hp, L), []).append(i)
         pvec = jnp.asarray(params, dtype=jnp.float32)
         for (Wp, Hp, L), idxs in buckets.items():
-            B = _pow2(len(idxs), 4)
-            pi = np.zeros((B, 10), dtype=np.int64)
+            B = _pow2(len(idxs), 8)
+            impl, K = self._convex_impl(Wp, Hp, L)
+            pu = np.zeros((B, 2), dtype=np.uint32)   # ds, hi
+            pi = np.zeros((B, 8), dtype=np.int32)
             pf = np.zeros((B, 2), dtype=np.float32)
-            pi[:, 9] = 1  # empty slots: width 1, zero-length → inert
+            pi[:, 7] = 1  # empty slots: width 1, zero-length → inert
+            pf[:, 0] = 1.0
             for bi, i in enumerate(idxs):
                 p = problems[i]
-                pi[bi] = (p.ref.ds, p.ref.diff, p.ref.hi, p.ref.W,
+                pu[bi] = (p.ref.ds, p.ref.hi)
+                pi[bi] = (p.ref.diff, p.ref.W,
                           p.qry.start, p.qry.length, 1 if p.qry.rev else 0,
                           p.corridor_mode, p.corridor_i, p.width)
                 pf[bi] = p.corridor_f
-            out = _convex_kernel(self.genome, self.readbuf, jnp.asarray(pi),
-                                 jnp.asarray(pf), pvec, Wp=Wp, Hp=Hp, L=L)
+            out = _convex_kernel(self.genome, self.readbuf, jnp.asarray(pu),
+                                 jnp.asarray(pi), jnp.asarray(pf), pvec,
+                                 Wp=Wp, Hp=Hp, L=L, impl=impl, K=K)
             packed_ops_dev, scalars_dev = out
             scalars = np.asarray(scalars_dev)   # [B, 6] i32
             # exact-ish slice: transfer only the op range actually used
@@ -238,30 +280,36 @@ class DeviceContext:
                 p.stop_x, p.stop_y = int(sx), int(sy)
                 p.ok = bool(okf)
                 p.ops = packed[bi]
+            self.stats["align_waves"] += 1
+            self.stats["cells"] += len(idxs) * (Wp + Hp) * L
+        self.stats["align_problems"] += len(problems)
+        self.stats["align_s"] += time.perf_counter() - t0
 
 
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
 
-def _gather_ref(genome, ds, diff, hi, W, Wp, i32):
-    """[B, Wp] window codes per RefDesc rule."""
+def _gather_ref(genome, ds, diff, hi, W, Wp):
+    """[B, Wp] window codes per RefDesc rule. ds/hi: uint32 absolute genome
+    positions; diff/W: int32 window-relative. Out-of-window lanes may wrap
+    in uint32 arithmetic — they are masked by `valid` (which never wraps:
+    i >= diff implies pos = ds + (i - diff) >= ds >= 0 exactly)."""
     B = ds.shape[0]
-    i = jnp.arange(Wp, dtype=jnp.int64)[None, :]
-    pos = ds[:, None] + i - diff[:, None]
-    valid = ((i >= diff[:, None]) & (i < W[:, None])
-             & (pos < hi[:, None]) & (pos >= 0))
-    idx = jnp.clip(pos, 0, genome.shape[0] - 1)
-    if i32:
-        idx = idx.astype(jnp.int32)
+    i = jnp.arange(Wp, dtype=jnp.int32)[None, :]
+    rel = (i - diff[:, None]).astype(jnp.uint32)
+    pos = ds[:, None] + rel
+    valid = ((i >= diff[:, None]) & (i < W[:, None]) & (pos < hi[:, None]))
+    idx = jnp.minimum(pos, jnp.uint32(genome.shape[0] - 1))
     codes = jnp.take(genome, idx.reshape(-1)).reshape(B, Wp)
     return jnp.where(valid, codes, jnp.uint8(XCODE))
 
 
 def _gather_qry(readbuf, start, length, rev, Qp):
-    """[B, Qp] query codes: read slice, reverse-complemented iff rev."""
+    """[B, Qp] query codes: read slice, reverse-complemented iff rev.
+    start/length: int32 (the per-batch read buffer is < 2^31)."""
     B = start.shape[0]
-    j = jnp.arange(Qp, dtype=jnp.int64)[None, :]
+    j = jnp.arange(Qp, dtype=jnp.int32)[None, :]
     src = jnp.where(rev[:, None] == 1, length[:, None] - 1 - j, j)
     pos = start[:, None] + src
     valid = (j < length[:, None]) & (src >= 0)
@@ -272,14 +320,23 @@ def _gather_qry(readbuf, start, length, rev, Qp):
     return jnp.where(valid, codes, jnp.uint8(NCODE))
 
 
-@functools.partial(jax.jit, static_argnames=("Rp", "Qp"))
-def _score_kernel(genome, readbuf, pi, Rp: int, Qp: int):
+@functools.partial(jax.jit, static_argnames=("Rp", "Qp", "impl"))
+def _score_kernel(genome, readbuf, pu, pi, Rp: int, Qp: int,
+                  impl: str = "scan"):
     """Batched ungapped local-segment scores (see ngmlr_tpu.ops.ungapped for
-    the semantics proof vs the vendored ssw). pi: int64 [P, 7] =
-    (ds, diff, hi, W, qstart, qlen, qrev). Returns f32 [P]."""
-    i32 = genome.shape[0] < 2 ** 31 - 2
-    ref = _gather_ref(genome, pi[:, 0], pi[:, 1], pi[:, 2], pi[:, 3], Rp, i32)
-    qry = _gather_qry(readbuf, pi[:, 4], pi[:, 5], pi[:, 6], Qp)
+    the semantics proof vs the vendored ssw). pu: uint32 [P, 2] = (ds, hi);
+    pi: int32 [P, 5] = (diff, W, qstart, qlen, qrev). Returns f32 [P]."""
+    ref = _gather_ref(genome, pu[:, 0], pi[:, 0], pu[:, 1], pi[:, 1], Rp)
+    qry = _gather_qry(readbuf, pi[:, 2], pi[:, 3], pi[:, 4], Qp)
+    if impl == "pallas":
+        from .pallas_kernels import score_fill, PT
+        P = ref.shape[0]
+        Pp = ((P + PT - 1) // PT) * PT
+        ref_t = jnp.pad(ref, ((0, Pp - P), (0, 0))).astype(jnp.int32).T
+        qry_t = jnp.pad(qry, ((0, Pp - P), (0, 0)),
+                        constant_values=NCODE).astype(jnp.int32).T
+        best = score_fill(ref_t, qry_t)
+        return best[0, :P].astype(jnp.float32)
     q = qry.astype(jnp.int32)
     q_ok = q < 4
 
@@ -322,29 +379,32 @@ def _shift_up(a):   # out[l] = a[l-1]
     return jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("Wp", "Hp", "L"))
-def _convex_kernel(genome, readbuf, pi, pf, params, Wp: int, Hp: int, L: int):
+@functools.partial(jax.jit, static_argnames=("Wp", "Hp", "L", "impl", "K"))
+def _convex_kernel(genome, readbuf, pu, pi, pf, params, Wp: int, Hp: int,
+                   L: int, impl: str = "scan", K: int = 256):
     """Fused banded convex-gap fill + on-device backtrack.
 
-    pi: int64 [B, 10] = (ds, diff, hi, W, qstart, qlen, qrev, cmode, ci, width)
+    pu: uint32 [B, 2] = (ds, hi);
+    pi: int32 [B, 8] = (diff, W, qstart, qlen, qrev, cmode, ci, width);
     pf: f32 [B, 2] corridor floats; params: f32 [6] score params.
+    impl: "scan" (pure-XLA reference formulation, works everywhere) or
+    "pallas" (TPU Mosaic kernels, ~100x less per-wavefront overhead).
 
-    Returns (packed_ops uint8 [B, ceil(Tp/4)], scalars int32 [B, 6] =
+    Returns (packed_ops uint8 [B, ceil(Tp'/4)], scalars int32 [B, 6] =
     (score bits, best_x, best_y, stop_x, stop_y, ok)).
     """
     B = pi.shape[0]
     Tp = Wp + Hp
-    i32 = genome.shape[0] < 2 ** 31 - 2
     mat, mis, go, ge, gemin, gdecay = [params[i] for i in range(6)]
 
-    W = pi[:, 3].astype(jnp.int32)
-    H = pi[:, 5].astype(jnp.int32)
-    mode = pi[:, 7].astype(jnp.int32)
-    ci = pi[:, 8].astype(jnp.int32)
-    width = pi[:, 9].astype(jnp.int32)
+    W = pi[:, 1]
+    H = pi[:, 3]
+    mode = pi[:, 5]
+    ci = pi[:, 6]
+    width = pi[:, 7]
 
-    ref = _gather_ref(genome, pi[:, 0], pi[:, 1], pi[:, 2], pi[:, 3], Wp, i32)
-    qry = _gather_qry(readbuf, pi[:, 4], pi[:, 5], pi[:, 6], Hp)
+    ref = _gather_ref(genome, pu[:, 0], pi[:, 0], pu[:, 1], pi[:, 1], Wp)
+    qry = _gather_qry(readbuf, pi[:, 2], pi[:, 3], pi[:, 4], Hp)
     zpad = jnp.zeros((B, L), dtype=jnp.uint8)
     ref_pad = jnp.concatenate([zpad, ref, zpad], axis=1)
     qry_pad = jnp.concatenate([zpad, qry, zpad], axis=1)
@@ -364,6 +424,42 @@ def _convex_kernel(genome, readbuf, pi, pf, params, Wp: int, Hp: int, L: int):
     ymax = jax.vmap(lambda k: jnp.searchsorted(k, ts, side="right"))(key_lo) - 1
     ymin = ymin.astype(jnp.int32)                                  # [B, Tp]
     ymax = ymax.astype(jnp.int32)
+
+    if impl == "pallas":
+        from .pallas_kernels import convex_fill, convex_backtrack
+        TpP = ((Tp + K - 1) // K) * K
+        padT = TpP - Tp
+        ymin_p = jnp.pad(ymin, ((0, 0), (0, padT)), mode="edge")
+        ymax_p = jnp.pad(ymax, ((0, 0), (0, padT)), constant_values=-1)
+        # deltas with ymin[-1] := 0 — the in-kernel incremental sequence
+        # windows start from the (t=-1, ymin=0) state
+        d1p = jnp.concatenate([ymin_p[:, :1],
+                               ymin_p[:, 1:] - ymin_p[:, :-1]], axis=1)
+        d2p = jnp.concatenate([ymin_p[:, :2],
+                               ymin_p[:, 2:] - ymin_p[:, :-2]], axis=1)
+        zL = jnp.zeros((B, L), jnp.int32)
+        ref_i = jnp.concatenate([zL, ref.astype(jnp.int32), zL], axis=1)
+        qry_i = jnp.concatenate([zL, qry.astype(jnp.int32), zL], axis=1)
+        ts_row = jnp.arange(TpP, dtype=jnp.int32)[None, :]
+        rcpatch = jnp.take_along_axis(
+            ref_i, jnp.clip(L + ts_row - ymin_p, 0, Wp + 2 * L - 1), axis=1)
+        qcpatch = jnp.take_along_axis(
+            qry_i, jnp.clip(2 * L - 1 + ymin_p, 0, Hp + 2 * L - 1), axis=1)
+        params8 = jnp.concatenate([params.astype(jnp.float32),
+                                   jnp.zeros(2, jnp.float32)])
+        dirs, best, by, bx = convex_fill(params8, qry_i, ymin_p, ymax_p,
+                                         d1p, d2p, rcpatch, qcpatch, L, K)
+        ops_i, sx, sy, state = convex_backtrack(
+            dirs, ymin_p, bx, by, mode[:, None], ci[:, None],
+            width[:, None], pf.astype(jnp.float32), L, K)
+        ok = (state[:, 0] == 1).astype(jnp.int32)   # DONE
+        scalars = jnp.stack([
+            jax.lax.bitcast_convert_type(best[:, 0], jnp.int32),
+            bx[:, 0], by[:, 0], sx[:, 0], sy[:, 0], ok], axis=1)
+        o4 = ops_i.reshape(B, TpP // 4, 4).astype(jnp.uint8)
+        packed = (o4[..., 0] | (o4[..., 1] << 2) | (o4[..., 2] << 4)
+                  | (o4[..., 3] << 6)).astype(jnp.uint8)
+        return packed, scalars
 
     ymin_t = ymin.T                                                # [Tp, B]
     ymax_t = ymax.T

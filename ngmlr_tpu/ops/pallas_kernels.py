@@ -1,0 +1,459 @@
+"""Pallas TPU kernels for the two hot DP loops.
+
+The XLA lax.scan formulations in device_engine are the semantic reference
+(and remain the CPU-test / fallback path), but on the TPU their per-step
+vmapped dynamic-slices cost ~10 us/wavefront — seconds per wave at 32 k
+wavefronts. These kernels run the identical recurrences with all state in
+VMEM:
+
+  * convex_fill: banded convex-gap wavefront fill (ConvexAlignFast
+    fwdFillMatrix semantics, /root/reference/src/ConvexAlignFast.cpp:606-774)
+    producing the direction planes in HBM plus the best cell per problem,
+  * convex_backtrack: reverse sweep over the direction planes emitting the
+    CIGAR op stream (revBacktrack semantics, :335-433, with
+    AlignmentMatrixFast::validPath),
+  * score_fill: batched ungapped local-segment scores (the StrippedSW
+    candidate filter, see ngmlr_tpu.ops.ungapped for the semantics proof).
+
+Mosaic constraints shape the design (lane-dimension dynamic slices must be
+128-aligned; sublane-dynamic is fine):
+
+  * per-wavefront scalars (row window, deltas, sequence patch values) are
+    [BT, K] blocks read with one-hot masked sums — never dynamic lane
+    slices,
+  * the two sequence windows are maintained INCREMENTALLY: per wavefront
+    the window shifts by the precomputed delta (0/1) and exactly one lane
+    (a static lane: 0 for the reference, L-1 for the query) is patched with
+    a value prefetched in the [BT, K] patch blocks. The invariant
+    rc[l] == ref[t - ymin(t) - l], qc[l] == qry[ymin(t) + l] holds for
+    every in-corridor lane because ymin moves by at most 1 per wavefront,
+  * direction rows accumulate in an i32 VMEM scratch (sublane-dynamic
+    stores) and flush to the u8 HBM block once per K wavefronts,
+  * the scoring kernel uses a transposed layout (problems on lanes,
+    PT=128 per grid step) so its per-column read is a sublane-dynamic
+    [1, PT] slice.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+STOP, DIAG, INS, DEL = 0, 1, 2, 3
+CORRIDOR_FULL, CORRIDOR_LINEAR, CORRIDOR_ENDPOINTS, CORRIDOR_ANCHORS = 0, 1, 2, 3
+WALK, DONE, FAIL = 0, 1, 2
+
+BT = 8          # problems per grid step in the convex kernels (f32 sublanes)
+PT = 128        # problems per grid step in the scoring kernel (lanes)
+
+
+def _iota(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+# ---------------------------------------------------------------------------
+# convex fill
+# ---------------------------------------------------------------------------
+
+def _fill_kernel(params_ref, qry_ref, ymin_ref, ymax_ref,
+                 d1_ref, d2_ref, rcp_ref, qcp_ref,
+                 dirs_ref, best_ref, by_ref, bx_ref,
+                 s1_ref, p1d_ref, r1_ref, s2_ref, rc_ref, qc_ref,
+                 bb_ref, bby_ref, bbx_ref, dirs_acc, *, L, nT, K):
+    tb = pl.program_id(1)
+    mat = params_ref[0, 0]
+    mis = params_ref[0, 1]
+    go = params_ref[0, 2]
+    ge = params_ref[0, 3]
+    gemin = params_ref[0, 4]
+    gdecay = params_ref[0, 5]
+    lanes = _iota((BT, L), 1)
+    cols = _iota((BT, K), 1)
+    BIG = jnp.int32(2 ** 30)
+
+    @pl.when(tb == 0)
+    def _():
+        s1_ref[:] = jnp.zeros((BT, L), jnp.float32)
+        p1d_ref[:] = jnp.zeros((BT, L), jnp.int32)
+        r1_ref[:] = jnp.zeros((BT, L), jnp.int32)
+        s2_ref[:] = jnp.zeros((BT, L), jnp.float32)
+        rc_ref[:] = jnp.zeros((BT, L), jnp.int32)
+        qc_ref[:] = qry_ref[:, L:2 * L]   # window qry[0:L] (ymin = 0)
+        bb_ref[:] = jnp.full((BT, L), -1.0, jnp.float32)
+        bby_ref[:] = jnp.zeros((BT, L), jnp.int32)
+        bbx_ref[:] = jnp.zeros((BT, L), jnp.int32)
+
+    # per-wavefront scalars, extracted per step with ONE MXU dot against a
+    # one-hot column (6 lane-reductions would otherwise dominate the step):
+    # rows 0..5 of `packed` are ymin, ymax, d1, d2, rcpatch, qcpatch × BT
+    packed = jnp.concatenate([
+        ymin_ref[:].astype(jnp.float32), ymax_ref[:].astype(jnp.float32),
+        d1_ref[:].astype(jnp.float32), d2_ref[:].astype(jnp.float32),
+        rcp_ref[:].astype(jnp.float32), qcp_ref[:].astype(jnp.float32),
+    ], axis=0)                                       # [6*BT, K] f32 (exact)
+
+    def shift_dn(a):                        # out[l] = a[l+1]
+        r = pltpu.roll(a, L - 1, 1)
+        return jnp.where(lanes == L - 1, jnp.zeros_like(a), r)
+
+    def shift_up(a):                        # out[l] = a[l-1]
+        r = pltpu.roll(a, 1, 1)
+        return jnp.where(lanes == 0, jnp.zeros_like(a), r)
+
+    def step(j, u, dirs_rows, carry):
+        s1, p1d, r1, s2, rc, qc, best, by, bx = carry
+        t = tb * K + j
+        oh_col = (_iota((K, 1), 0) == j).astype(jnp.float32)
+        ext = jax.lax.dot_general(
+            packed, oh_col, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)      # [6*BT, 1], f32-exact
+        ym = ext[0 * BT:1 * BT].astype(jnp.int32)
+        yx = ext[1 * BT:2 * BT].astype(jnp.int32)
+        dl1 = ext[2 * BT:3 * BT].astype(jnp.int32)
+        dl2 = ext[3 * BT:4 * BT].astype(jnp.int32)
+        rcpatch = ext[4 * BT:5 * BT].astype(jnp.int32)
+        qcpatch = ext[5 * BT:6 * BT].astype(jnp.int32)
+
+        # incremental sequence windows (see module docstring)
+        d1_is1 = dl1 == 1
+        rc = jnp.where(d1_is1, rc,
+                       jnp.where(lanes == 0, rcpatch, shift_up(rc)))
+        qc = jnp.where(d1_is1,
+                       jnp.where(lanes == L - 1, qcpatch, shift_dn(qc)),
+                       qc)
+
+        y = ym + lanes
+        x = t - y
+        valid = (lanes <= (yx - ym)) & (ym <= yx)
+        eq = rc == qc
+
+        lf_s = jnp.where(d1_is1, shift_dn(s1), s1)
+        lf_d = jnp.where(d1_is1, shift_dn(p1d), p1d)
+        lf_r = jnp.where(d1_is1, shift_dn(r1), r1)
+        up_s = jnp.where(d1_is1, s1, shift_up(s1))
+        up_d = jnp.where(d1_is1, p1d, shift_up(p1d))
+        up_r = jnp.where(d1_is1, r1, shift_up(r1))
+        diag_s = jnp.where(dl2 == 0, shift_up(s2),
+                           jnp.where(dl2 == 1, s2, shift_dn(s2)))
+
+        diag_cell = diag_s + jnp.where(eq, mat, mis)
+        ins_ext = up_d == INS
+        up_gap = jnp.minimum(gemin, ge + up_r.astype(jnp.float32) * gdecay)
+        up_cell = jnp.where(ins_ext,
+                            jnp.where(up_s == 0.0, 0.0, up_s + up_gap),
+                            up_s + go)
+        del_ext = lf_d == DEL
+        lf_gap = jnp.minimum(gemin, ge + lf_r.astype(jnp.float32) * gdecay)
+        lf_cell = jnp.where(del_ext,
+                            jnp.where(lf_s == 0.0, 0.0, lf_s + lf_gap),
+                            lf_s + go)
+
+        max_cell = jnp.maximum(jnp.maximum(lf_cell, 0.0),
+                               jnp.maximum(diag_cell, up_cell))
+        c1 = del_ext & (max_cell == lf_cell)
+        c2 = (~c1) & ins_ext & (max_cell == up_cell)
+        c3 = (~c1) & (~c2) & (max_cell == diag_cell)
+        c4 = (~c1) & (~c2) & (~c3) & (max_cell == lf_cell)
+        c5 = (~c1) & (~c2) & (~c3) & (~c4) & (max_cell == up_cell)
+        new_d = jnp.where(c1 | c4, DEL,
+                          jnp.where(c2 | c5, INS,
+                                    jnp.where(c3, DIAG, STOP))).astype(jnp.int32)
+        new_r = jnp.where(c1, lf_r + 1,
+                          jnp.where(c2, up_r + 1,
+                                    jnp.where(c4 | c5, 1, 0))).astype(jnp.int32)
+        new_s = jnp.where(new_d == STOP, 0.0, max_cell)
+
+        new_s = jnp.where(valid, new_s, 0.0)
+        new_d = jnp.where(valid, new_d, 0).astype(jnp.int32)
+        new_r = jnp.where(valid, new_r, 0).astype(jnp.int32)
+
+        dirs_rows[u] = new_d
+
+        # per-lane running lex-max (score desc, y asc, x asc); the strict >
+        # keeps the row-major-first cell within a lane (y grows with t on a
+        # lane, and x grows at constant y), so a single cross-lane lex
+        # reduction at the very end reproduces the reference's sequential
+        # first-strict-maximum rule exactly
+        cand = jnp.where(valid, new_s, -jnp.inf)
+        upd = cand > best
+        best = jnp.where(upd, cand, best)
+        by = jnp.where(upd, y, by)
+        bx = jnp.where(upd, x, bx)
+        return (new_s, new_d, new_r, s1, rc, qc, best, by, bx)
+
+    # grouped loop: 8 wavefronts per iteration so the direction-row store
+    # lands at a provably 8-aligned sublane offset (Mosaic requirement)
+    def group(g, carry):
+        dirs_rows = [None] * 8
+        for u in range(8):
+            carry = step(g * 8 + u, u, dirs_rows, carry)
+        base = pl.multiple_of(g * 8, 8)
+        dirs_acc[:, pl.ds(base, 8), :] = jnp.stack(dirs_rows, axis=1)
+        return carry
+
+    init = (s1_ref[:], p1d_ref[:], r1_ref[:], s2_ref[:], rc_ref[:], qc_ref[:],
+            bb_ref[:], bby_ref[:], bbx_ref[:])
+    out = jax.lax.fori_loop(0, K // 8, group, init)
+    (s1_ref[:], p1d_ref[:], r1_ref[:], s2_ref[:], rc_ref[:], qc_ref[:],
+     bb_ref[:], bby_ref[:], bbx_ref[:]) = out
+    dirs_ref[:] = dirs_acc[:].astype(jnp.uint8)
+
+    @pl.when(tb == nT - 1)
+    def _():
+        bl_s, bl_y, bl_x = bb_ref[:], bby_ref[:], bbx_ref[:]
+        m = jnp.max(bl_s, axis=1, keepdims=True)
+        is_m = bl_s == m
+        y_min = jnp.min(jnp.where(is_m, bl_y, BIG), axis=1, keepdims=True)
+        x_min = jnp.min(jnp.where(is_m & (bl_y == y_min), bl_x, BIG),
+                        axis=1, keepdims=True)
+        best_ref[:] = m
+        by_ref[:] = y_min
+        bx_ref[:] = x_min
+
+
+def convex_fill(params, qry_pad, ymin, ymax, d1, d2, rcpatch, qcpatch,
+                L: int, K: int = 256):
+    """params f32 [8]; qry_pad i32 [B, HL] (HL = Hp + 2L, L zeros each
+    side); ymin/ymax/d1/d2/rcpatch/qcpatch i32 [B, TpP] (TpP multiple of K);
+    d1[t]=ymin[t]-ymin[t-1] with ymin[-1]:=0, d2 likewise over two steps.
+    Returns (dirs u8 [B, TpP, L], best f32 [B,1], by i32 [B,1],
+    bx i32 [B,1])."""
+    B, TpP = ymin.shape
+    HL = qry_pad.shape[1]
+    nB = B // BT
+    nT = TpP // K
+    grid = (nB, nT)
+
+    def b_spec(width):
+        return pl.BlockSpec((BT, width), lambda b, t: (b, 0),
+                            memory_space=pltpu.VMEM)
+
+    def t_spec():
+        return pl.BlockSpec((BT, K), lambda b, t: (b, t),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_fill_kernel, L=L, nT=nT, K=K),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda b, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            b_spec(HL),
+            t_spec(), t_spec(), t_spec(), t_spec(), t_spec(), t_spec(),
+        ],
+        out_specs=[
+            pl.BlockSpec((BT, K, L), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            b_spec(1), b_spec(1), b_spec(1),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, TpP, L), jnp.uint8),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BT, L), jnp.float32),
+            pltpu.VMEM((BT, L), jnp.int32),
+            pltpu.VMEM((BT, L), jnp.int32),
+            pltpu.VMEM((BT, L), jnp.float32),
+            pltpu.VMEM((BT, L), jnp.int32),
+            pltpu.VMEM((BT, L), jnp.int32),
+            pltpu.VMEM((BT, L), jnp.float32),
+            pltpu.VMEM((BT, L), jnp.int32),
+            pltpu.VMEM((BT, L), jnp.int32),
+            pltpu.VMEM((BT, K, L), jnp.int32),
+        ],
+    )(params.reshape(1, 8), qry_pad, ymin, ymax, d1, d2, rcpatch, qcpatch)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# backtrack
+# ---------------------------------------------------------------------------
+
+def _bt_kernel(dirs_ref, ymin_ref, bx_ref, by_ref, mode_ref, ci_ref,
+               width_ref, cf_ref,
+               ops_ref, sx_ref, sy_ref, st_ref,
+               x_s, y_s, state_s, stx_s, sty_s, *, L, nT, K):
+    tb = pl.program_id(1)          # 0 = highest wavefront block
+    lanes = _iota((BT, L), 1)
+    cols = _iota((BT, K), 1)
+
+    @pl.when(tb == 0)
+    def _():
+        x_s[:] = bx_ref[:]
+        y_s[:] = by_ref[:]
+        state_s[:] = jnp.where(by_ref[:] > 0, WALK, FAIL)
+        stx_s[:] = jnp.full((BT, 1), -1, jnp.int32)
+        sty_s[:] = jnp.full((BT, 1), -1, jnp.int32)
+
+    blk = nT - 1 - tb              # actual wavefront block index
+    mode = mode_ref[:]
+    ci = ci_ref[:]
+    width_f = width_ref[:].astype(jnp.float32)
+    k_f = cf_ref[:, 0:1]
+    d_f = cf_ref[:, 1:2]
+    ym_all = ymin_ref[:]
+
+    def offs_at(yv):
+        yf = yv.astype(jnp.float32)
+        full = ci.astype(jnp.float32)
+        linear = (yv - ci).astype(jnp.float32)
+        endpoints = jnp.trunc((yf - d_f) / k_f)
+        anchors = jnp.trunc(yf / k_f - d_f)
+        return jnp.where(mode == CORRIDOR_FULL, full,
+                         jnp.where(mode == CORRIDOR_LINEAR, linear,
+                                   jnp.where(mode == CORRIDOR_ENDPOINTS,
+                                             endpoints, anchors)))
+
+    def step(jj, dirs_row, carry):
+        x, y, state, sx, sy, ops = carry
+        t = blk * K + jj
+        oh = cols == jj
+        ym = jnp.sum(jnp.where(oh, ym_all, 0), axis=1, keepdims=True)
+        here = (state == WALK) & ((x + y) == t)
+        lane = y - ym
+        d = jnp.max(jnp.where((lanes == lane) & here, dirs_row, 0),
+                    axis=1, keepdims=True)                  # [BT, 1]
+
+        stop_now = here & (d == STOP)
+        # validPath (AlignmentMatrixFast.cpp:213-220), f32 truncation kept
+        o = offs_at(y)
+        min_c = jnp.trunc(o + jnp.float32(0.1) * width_f).astype(jnp.int32)
+        max_c = jnp.trunc(min_c.astype(jnp.float32) + width_f
+                          - jnp.float32(0.1) * width_f).astype(jnp.int32)
+        ok_path = (x > min_c) & (x < max_c)
+        bad = here & (~stop_now) & (~ok_path)
+        emit = jnp.where(here & (~stop_now) & (~bad), d, 0)
+
+        nx = x - (emit == DIAG).astype(jnp.int32) - (emit == DEL).astype(jnp.int32)
+        ny = y - (emit == DIAG).astype(jnp.int32) - (emit == INS).astype(jnp.int32)
+        off_matrix = (emit != 0) & ((nx < 0) | (ny < 0))
+
+        sx = jnp.where(stop_now | off_matrix, nx, sx)
+        sy = jnp.where(stop_now | off_matrix, ny, sy)
+        state = jnp.where(stop_now | off_matrix, DONE,
+                          jnp.where(bad, FAIL, state))
+        ops = jnp.where(oh, emit, ops)
+        return (nx, ny, state, sx, sy, ops)
+
+    # grouped loop: load 8 direction rows per iteration at an 8-aligned
+    # sublane offset, walk them in descending wavefront order
+    def group(gi, carry):
+        g = (K // 8 - 1) - gi
+        base = pl.multiple_of(g * 8, 8)
+        tile = dirs_ref[:, pl.ds(base, 8), :].astype(jnp.int32)  # [BT, 8, L]
+        for u in range(7, -1, -1):
+            carry = step(g * 8 + u, tile[:, u, :], carry)
+        return carry
+
+    init = (x_s[:], y_s[:], state_s[:], stx_s[:], sty_s[:],
+            jnp.zeros((BT, K), jnp.int32))
+    out = jax.lax.fori_loop(0, K // 8, group, init)
+    x_s[:], y_s[:], state_s[:], stx_s[:], sty_s[:] = out[:5]
+    ops_ref[:] = out[5]
+
+    @pl.when(tb == nT - 1)
+    def _():
+        sx_ref[:] = stx_s[:]
+        sy_ref[:] = sty_s[:]
+        st_ref[:] = state_s[:]
+
+
+def convex_backtrack(dirs, ymin, bx, by, mode, ci, width, cf,
+                     L: int, K: int = 256):
+    """dirs u8 [B, TpP, L]; ymin i32 [B, TpP]; bx/by/mode/ci/width i32
+    [B,1]; cf f32 [B,2]. Returns (ops i32 [B, TpP], sx, sy, state i32
+    [B,1])."""
+    B, TpP = ymin.shape
+    nB = B // BT
+    nT = TpP // K
+    grid = (nB, nT)
+
+    def scalar_spec(n):
+        return pl.BlockSpec((BT, n), lambda b, t: (b, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_bt_kernel, L=L, nT=nT, K=K),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BT, K, L), lambda b, t, _n=nT: (b, _n - 1 - t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, K), lambda b, t, _n=nT: (b, _n - 1 - t),
+                         memory_space=pltpu.VMEM),
+            scalar_spec(1), scalar_spec(1), scalar_spec(1), scalar_spec(1),
+            scalar_spec(1), scalar_spec(2),
+        ],
+        out_specs=[
+            pl.BlockSpec((BT, K), lambda b, t, _n=nT: (b, _n - 1 - t),
+                         memory_space=pltpu.VMEM),
+            scalar_spec(1), scalar_spec(1), scalar_spec(1),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, TpP), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BT, 1), jnp.int32),
+            pltpu.VMEM((BT, 1), jnp.int32),
+            pltpu.VMEM((BT, 1), jnp.int32),
+            pltpu.VMEM((BT, 1), jnp.int32),
+            pltpu.VMEM((BT, 1), jnp.int32),
+        ],
+    )(dirs, ymin, bx, by, mode, ci, width, cf)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ungapped scoring (transposed layout: problems on lanes)
+# ---------------------------------------------------------------------------
+
+def _score_kernel(ref_ref, qry_ref, best_ref, *, Rp, Qp):
+    q = qry_ref[:]                                   # [Qp, PT] i32
+    q_ok = q < 4
+    row0 = _iota((Qp, PT), 0) == 0
+
+    def step(rc, carry):
+        h, best_h = carry
+        s = jnp.where((q == rc) & q_ok, 1,
+                      jnp.where(q_ok & (rc < 4), -1, 0))
+        h_shift = jnp.where(row0, 0, pltpu.roll(h, 1, 0))
+        h = jnp.maximum(h_shift + s, 0)
+        return (h, jnp.maximum(best_h, h))
+
+    def group(g, carry):
+        base = pl.multiple_of(g * 8, 8)
+        tile = ref_ref[pl.ds(base, 8), :]            # [8, PT]
+        for u in range(8):
+            carry = step(tile[u:u + 1, :], carry)
+        return carry
+
+    h0 = jnp.zeros((Qp, PT), jnp.int32)
+    _, best_h = jax.lax.fori_loop(0, Rp // 8, group, (h0, h0))
+    best_ref[:] = jnp.max(best_h, axis=0, keepdims=True)
+
+
+def score_fill(ref_t, qry_t):
+    """ref_t/qry_t i32 [Rp, P]/[Qp, P] (transposed, P multiple of 128).
+    Returns i32 [1, P]."""
+    Rp, P = ref_t.shape
+    Qp = qry_t.shape[0]
+    grid = (P // PT,)
+    return pl.pallas_call(
+        functools.partial(_score_kernel, Rp=Rp, Qp=Qp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Rp, PT), lambda p: (0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Qp, PT), lambda p: (0, p), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, PT), lambda p: (0, p),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, P), jnp.int32),
+    )(ref_t, qry_t)
