@@ -57,8 +57,7 @@ def _iota(shape, dim):
 # convex fill
 # ---------------------------------------------------------------------------
 
-def _fill_kernel(params_ref, qry_ref, ymin_ref, ymax_ref,
-                 d1_ref, d2_ref, rcp_ref, qcp_ref,
+def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
                  dirs_ref, best_ref, by_ref, bx_ref,
                  s1_ref, p1d_ref, r1_ref, s2_ref, rc_ref, qc_ref,
                  bb_ref, bby_ref, bbx_ref, dirs_acc, *, L, nT, K):
@@ -70,7 +69,6 @@ def _fill_kernel(params_ref, qry_ref, ymin_ref, ymax_ref,
     gemin = params_ref[0, 4]
     gdecay = params_ref[0, 5]
     lanes = _iota((BT, L), 1)
-    cols = _iota((BT, K), 1)
     BIG = jnp.int32(2 ** 30)
 
     @pl.when(tb == 0)
@@ -85,14 +83,6 @@ def _fill_kernel(params_ref, qry_ref, ymin_ref, ymax_ref,
         bby_ref[:] = jnp.zeros((BT, L), jnp.int32)
         bbx_ref[:] = jnp.zeros((BT, L), jnp.int32)
 
-    # per-wavefront scalars, extracted per step with ONE MXU dot against a
-    # one-hot column (6 lane-reductions would otherwise dominate the step):
-    # rows 0..5 of `packed` are ymin, ymax, d1, d2, rcpatch, qcpatch × BT
-    packed = jnp.concatenate([
-        ymin_ref[:].astype(jnp.float32), ymax_ref[:].astype(jnp.float32),
-        d1_ref[:].astype(jnp.float32), d2_ref[:].astype(jnp.float32),
-        rcp_ref[:].astype(jnp.float32), qcp_ref[:].astype(jnp.float32),
-    ], axis=0)                                       # [6*BT, K] f32 (exact)
 
     def shift_dn(a):                        # out[l] = a[l+1]
         r = pltpu.roll(a, L - 1, 1)
@@ -102,20 +92,16 @@ def _fill_kernel(params_ref, qry_ref, ymin_ref, ymax_ref,
         r = pltpu.roll(a, 1, 1)
         return jnp.where(lanes == 0, jnp.zeros_like(a), r)
 
-    def step(j, u, dirs_rows, carry):
+    def step(j, u, ext, dirs_rows, carry):
         s1, p1d, r1, s2, rc, qc, best, by, bx = carry
         t = tb * K + j
-        oh_col = (_iota((K, 1), 0) == j).astype(jnp.float32)
-        ext = jax.lax.dot_general(
-            packed, oh_col, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)      # [6*BT, 1], f32-exact
-        ym = ext[0 * BT:1 * BT].astype(jnp.int32)
-        yx = ext[1 * BT:2 * BT].astype(jnp.int32)
-        dl1 = ext[2 * BT:3 * BT].astype(jnp.int32)
-        dl2 = ext[3 * BT:4 * BT].astype(jnp.int32)
-        rcpatch = ext[4 * BT:5 * BT].astype(jnp.int32)
-        qcpatch = ext[5 * BT:6 * BT].astype(jnp.int32)
+        # ext: [6*BT, 8] transposed per-wavefront scalars for this group
+        ym = ext[0 * BT:1 * BT, u:u + 1]
+        yx = ext[1 * BT:2 * BT, u:u + 1]
+        dl1 = ext[2 * BT:3 * BT, u:u + 1]
+        dl2 = ext[3 * BT:4 * BT, u:u + 1]
+        rcpatch = ext[4 * BT:5 * BT, u:u + 1]
+        qcpatch = ext[5 * BT:6 * BT, u:u + 1]
 
         # incremental sequence windows (see module docstring)
         d1_is1 = dl1 == 1
@@ -184,22 +170,34 @@ def _fill_kernel(params_ref, qry_ref, ymin_ref, ymax_ref,
         bx = jnp.where(upd, x, bx)
         return (new_s, new_d, new_r, s1, rc, qc, best, by, bx)
 
-    # grouped loop: 8 wavefronts per iteration so the direction-row store
-    # lands at a provably 8-aligned sublane offset (Mosaic requirement)
+    # grouped loop: 8 wavefronts per iteration so the scalar loads and the
+    # direction-row store land at provably 8-aligned sublane offsets
+    # (Mosaic requirement); the [8, 6*BT] scalar tile is transposed once per
+    # group so each step reads a static column
     def group(g, carry):
+        base = pl.multiple_of(g * 8, 8)
+        ext = scal_ref[pl.ds(base, 8), :].T           # [128, 8] i32
         dirs_rows = [None] * 8
         for u in range(8):
-            carry = step(g * 8 + u, u, dirs_rows, carry)
-        base = pl.multiple_of(g * 8, 8)
+            carry = step(g * 8 + u, u, ext, dirs_rows, carry)
         dirs_acc[:, pl.ds(base, 8), :] = jnp.stack(dirs_rows, axis=1)
         return carry
 
-    init = (s1_ref[:], p1d_ref[:], r1_ref[:], s2_ref[:], rc_ref[:], qc_ref[:],
-            bb_ref[:], bby_ref[:], bbx_ref[:])
-    out = jax.lax.fori_loop(0, K // 8, group, init)
-    (s1_ref[:], p1d_ref[:], r1_ref[:], s2_ref[:], rc_ref[:], qc_ref[:],
-     bb_ref[:], bby_ref[:], bbx_ref[:]) = out
-    dirs_ref[:] = dirs_acc[:].astype(jnp.uint8)
+    is_active = active_ref[pl.program_id(0), tb] != 0
+
+    @pl.when(is_active)
+    def _():
+        init = (s1_ref[:], p1d_ref[:], r1_ref[:], s2_ref[:], rc_ref[:],
+                qc_ref[:], bb_ref[:], bby_ref[:], bbx_ref[:])
+        out = jax.lax.fori_loop(0, K // 8, group, init)
+        (s1_ref[:], p1d_ref[:], r1_ref[:], s2_ref[:], rc_ref[:], qc_ref[:],
+         bb_ref[:], bby_ref[:], bbx_ref[:]) = out
+        dirs_ref[:] = dirs_acc[:].astype(jnp.uint8)
+
+    @pl.when(jnp.logical_not(is_active))
+    def _():
+        # past every problem's last nonempty wavefront — nothing can change
+        dirs_ref[:] = jnp.zeros_like(dirs_ref)
 
     @pl.when(tb == nT - 1)
     def _():
@@ -227,13 +225,28 @@ def convex_fill(params, qry_pad, ymin, ymax, d1, d2, rcpatch, qcpatch,
     nT = TpP // K
     grid = (nB, nT)
 
+    # transposed per-wavefront scalar pack, padded to 128 lanes per b-tile:
+    # col = btile*128 + arr*BT + b
+    scal = jnp.stack([ymin, ymax, d1, d2, rcpatch, qcpatch], axis=0)
+    scal = scal.reshape(6, nB, BT, TpP).transpose(3, 1, 0, 2)
+    scal = scal.reshape(TpP, nB, 6 * BT)
+    scal = jnp.pad(scal, ((0, 0), (0, 0), (0, 128 - 6 * BT)))
+    scal = scal.reshape(TpP, nB * 128)
+
     def b_spec(width):
         return pl.BlockSpec((BT, width), lambda b, t: (b, 0),
                             memory_space=pltpu.VMEM)
 
-    def t_spec():
-        return pl.BlockSpec((BT, K), lambda b, t: (b, t),
-                            memory_space=pltpu.VMEM)
+    # per-(tile, block) activity: the last nonempty wavefront of a problem
+    # is max_y(key_hi) - 1, which ymax encodes as its last index of change;
+    # cheaper: a block is active iff any problem has ymin <= ymax inside it.
+    # Trailing blocks are all-empty for every problem, and emptiness is
+    # contiguous at the tail (windows never resume after max key_hi).
+    any_valid = (ymin <= ymax).reshape(nB, BT, nT, K).any(axis=(1, 3))
+    # force monotone-trailing semantics: active until the last active block
+    last_active = (nT - 1) - jnp.argmax(any_valid[:, ::-1], axis=1)
+    active = (jnp.arange(nT, dtype=jnp.int32)[None, :]
+              <= last_active[:, None]).astype(jnp.int32)
 
     out = pl.pallas_call(
         functools.partial(_fill_kernel, L=L, nT=nT, K=K),
@@ -241,8 +254,10 @@ def convex_fill(params, qry_pad, ymin, ymax, d1, d2, rcpatch, qcpatch,
         in_specs=[
             pl.BlockSpec((1, 8), lambda b, t: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # full activity table
             b_spec(HL),
-            t_spec(), t_spec(), t_spec(), t_spec(), t_spec(), t_spec(),
+            pl.BlockSpec((K, 128), lambda b, t: (t, b),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((BT, K, L), lambda b, t: (b, t, 0),
@@ -267,7 +282,7 @@ def convex_fill(params, qry_pad, ymin, ymax, d1, d2, rcpatch, qcpatch,
             pltpu.VMEM((BT, L), jnp.int32),
             pltpu.VMEM((BT, K, L), jnp.int32),
         ],
-    )(params.reshape(1, 8), qry_pad, ymin, ymax, d1, d2, rcpatch, qcpatch)
+    )(params.reshape(1, 8), active, qry_pad, scal)
     return out
 
 
@@ -351,11 +366,22 @@ def _bt_kernel(dirs_ref, ymin_ref, bx_ref, by_ref, mode_ref, ci_ref,
             carry = step(g * 8 + u, tile[:, u, :], carry)
         return carry
 
-    init = (x_s[:], y_s[:], state_s[:], stx_s[:], sty_s[:],
-            jnp.zeros((BT, K), jnp.int32))
-    out = jax.lax.fori_loop(0, K // 8, group, init)
-    x_s[:], y_s[:], state_s[:], stx_s[:], sty_s[:] = out[:5]
-    ops_ref[:] = out[5]
+    # skip blocks no walk can touch: every problem is either finished or
+    # still above this block's wavefront range (x+y only decreases)
+    t0 = blk * K
+    can_act = jnp.max(jnp.where(state_s[:] == WALK, x_s[:] + y_s[:], -1)) >= t0
+
+    @pl.when(can_act)
+    def _():
+        init = (x_s[:], y_s[:], state_s[:], stx_s[:], sty_s[:],
+                jnp.zeros((BT, K), jnp.int32))
+        out = jax.lax.fori_loop(0, K // 8, group, init)
+        x_s[:], y_s[:], state_s[:], stx_s[:], sty_s[:] = out[:5]
+        ops_ref[:] = out[5]
+
+    @pl.when(jnp.logical_not(can_act))
+    def _():
+        ops_ref[:] = jnp.zeros_like(ops_ref)
 
     @pl.when(tb == nT - 1)
     def _():

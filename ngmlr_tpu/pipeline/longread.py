@@ -880,7 +880,57 @@ def _satisfies_constraints(align: Align, read_length: int, cfg: Config) -> bool:
 
 def _best_segment_combination(max_length: int, segs: List[Interval],
                               out: List[int]) -> float:
-    """getBestSegmentCombination (AlignmentBuffer.cpp:2005-2064)."""
+    """getBestSegmentCombination (AlignmentBuffer.cpp:2005-2064).
+
+    Event-based O(n log n) equivalent of the reference's
+    O(readLen x nSegs) sweep: best_score is a step function that only
+    changes where a segment becomes eligible (its on_read_stop), and each
+    segment's candidate value is fixed once it is eligible (its lookup
+    position start+50 lies strictly before its own stop). Sequential f32
+    rounding and the first-strict-improvement tie-break are preserved.
+    Falls back to the literal loop for the self-referential corner (a
+    chosen lookup position at the read end — the reference reads its own
+    in-progress row there)."""
+    import bisect
+    max_overlap = 50
+    elig = [(max(1, s.on_read_stop), j) for j, s in enumerate(segs)
+            if (not s.is_processed and s.on_read_stop <= max_length - 1
+                and abs(s.on_read_stop - s.on_read_start) > max_overlap)]
+    if any(segs[j].on_read_start + max_overlap >= max_length - 1
+           or segs[j].on_read_start + max_overlap >= max(1, segs[j].on_read_stop)
+           for _, j in elig):
+        return _best_segment_combination_loop(max_length, segs, out)
+    elig.sort()
+
+    xs: List[int] = []                   # event positions (ascending)
+    states: List[tuple] = []             # (best_val, winner_j, winner_pos)
+    cur = (0.0, -1, 0)
+
+    def at(pos: int) -> tuple:
+        k = bisect.bisect_right(xs, pos) - 1
+        return states[k] if k >= 0 else (0.0, -1, 0)
+
+    for x, j in elig:
+        seg = segs[j]
+        pos = min(max_length - 1, seg.on_read_start + max_overlap)
+        val = float(f32(f32(seg.score) + f32(at(pos)[0])))
+        if val > cur[0]:
+            cur = (val, j, pos)
+        xs.append(x)
+        states.append(cur)
+
+    final = at(max_length - 1)
+    result = final[0]
+    state = final
+    while state[1] > -1:
+        out.append(state[1])
+        state = at(state[2])
+    return result
+
+
+def _best_segment_combination_loop(max_length: int, segs: List[Interval],
+                                   out: List[int]) -> float:
+    """The literal reference loop (oracle + end-of-read corner case)."""
     max_overlap = 50
     best_score = [0.0] * max_length
     last_best = [0] * max_length

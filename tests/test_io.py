@@ -110,3 +110,32 @@ def test_subread_split_floor():
     r = Read(0, b"r", b"A" * 1000, None)
     assert r.subread_count() == 3          # floor(1000/256); 232bp tail dropped
     assert len(r.subread_seq(2)) == 256
+
+
+def test_best_segment_combination_event_matches_loop():
+    """The event-based getBestSegmentCombination must match the literal
+    reference loop (ties, f32 rounding, backtrace) on random segments."""
+    import numpy as np
+    from ngmlr_tpu.chain.structs import Interval
+    from ngmlr_tpu.pipeline.longread import (_best_segment_combination,
+                                             _best_segment_combination_loop)
+    rng = np.random.default_rng(42)
+    for trial in range(200):
+        L = int(rng.integers(60, 2500))
+        n = int(rng.integers(1, 9))
+        segs = []
+        for j in range(n):
+            s = Interval()
+            a = int(rng.integers(0, L))
+            b = min(L - 1, a + int(rng.integers(10, 900)))
+            s.on_read_start, s.on_read_stop = a, b
+            s.score = float(np.float32(rng.uniform(0, 500)))
+            if rng.random() < 0.3 and n > 1:   # force score ties
+                s.score = segs[0].score if segs else s.score
+            s.is_processed = False
+            segs.append(s)
+        o1, o2 = [], []
+        r1 = _best_segment_combination(L, segs, o1)
+        r2 = _best_segment_combination_loop(L, segs, o2)
+        assert r1 == r2, trial
+        assert o1 == o2, trial
