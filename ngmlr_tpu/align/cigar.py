@@ -163,12 +163,15 @@ def ops_convert(packed: np.ndarray, best_x: int, best_y: int,
     qry_len = len(qry)
     if lib is not None:
         buf = np.ascontiguousarray(packed)
-        cigar_cap = 16 * qry_len + 64
-        md_cap = 16 * qry_len + 64
+        # worst-case CIGAR ~6 chars/op with ops <= path length; the MD adds
+        # deleted reference bases. The C++ side reports overflow (rc=2) and
+        # we fall back to the Python path, so tight caps are safe.
+        cigar_cap = 4 * qry_len + 4096
+        md_cap = 6 * qry_len + 4096
         nm_cap = 2 * (qry_len + 1)
         cigar_buf = ctypes.create_string_buffer(cigar_cap)
         md_buf = ctypes.create_string_buffer(md_cap)
-        nm_buf = np.zeros((nm_cap, 3), dtype=np.int32)
+        nm_buf = np.empty((nm_cap, 3), dtype=np.int32)
         out = CigarResult()
         rc = lib.ops_convert(
             buf.ctypes.data, len(buf), best_x, best_y,

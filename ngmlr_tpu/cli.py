@@ -22,7 +22,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-x", "--presets", default="pacbio", choices=["pacbio", "ont"])
     p.add_argument("-i", "--min-identity", type=float, default=0.65)
     p.add_argument("-R", "--min-residues", type=float, default=0.25)
-    p.add_argument("--sensitivity", type=float, default=0.8)
+    p.add_argument("-s", "--sensitivity", type=float, default=0.8)
     p.add_argument("--match", type=float, default=2.0)
     p.add_argument("--mismatch", type=float, default=-5.0)
     p.add_argument("--gap-open", type=float, default=-5.0)
@@ -41,6 +41,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bam-fix", action="store_true")
     p.add_argument("--no-progress", action="store_true")
     p.add_argument("--progress", action="store_true")
+    # parity flags (see Config docstrings): vcf/bed-filter/print-all are
+    # parsed but unused in the reference as well
+    p.add_argument("--vcf", default=None)
+    p.add_argument("--bed-filter", default=None)
+    p.add_argument("--print-all", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--color", action="store_true")
+    p.add_argument("--stdout", type=int, default=0, choices=range(0, 8),
+                   help="debug dump mode (reference stdout modes 0-7)")
+    p.add_argument("--subread-aligner", type=int, default=0,
+                   help="subread scoring method (0 = batched TPU kernel)")
+    p.add_argument("--nosse", action="store_true",
+                   help="use the XLA reference kernels instead of Pallas "
+                        "(the reference's scalar-aligner debug switch)")
+    p.add_argument("--skip-align", action="store_true",
+                   help="skip the alignment step (debug)")
+    p.add_argument("--version", action="version",
+                   version="ngmlr-tpu 0.1.0 (ngmlr 0.2.7-compatible)")
     p.add_argument("--rg-id", default=None)
     for tag in ("sm", "lb", "pl", "ds", "dt", "pu", "pi", "pg", "cn", "fo", "ks"):
         p.add_argument(f"--rg-{tag}", default=None)
@@ -70,6 +88,14 @@ def config_from_args(args, argv) -> Config:
         small_inversion_detection=not args.no_smallinv,
         skip_save=args.skip_write,
         bam_cigar_fix=args.bam_fix,
+        skip_align=args.skip_align,
+        stdout_mode=args.stdout,
+        print_all=args.print_all,
+        verbose=args.verbose,
+        color=args.color,
+        subread_aligner=args.subread_aligner,
+        vcf=args.vcf,
+        bed_filter=args.bed_filter,
         threads=args.threads,
         batch_reads=args.batch_reads,
         output_file=args.output,
@@ -87,6 +113,15 @@ def config_from_args(args, argv) -> Config:
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     args = build_parser().parse_args(argv)
+    if args.nosse:
+        import os
+        os.environ["NGMLR_TPU_NO_PALLAS"] = "1"
+    if args.subread_aligner not in (0, 1, 2, 3):
+        sys.stderr.write(f"Invalid subread aligner: {args.subread_aligner}\n")
+        return 1
+    if args.stdout != 0:
+        sys.stderr.write(
+            f"stdout debug mode {args.stdout} is not implemented yet\n")
     cfg = config_from_args(args, argv)
     pipeline = Pipeline(cfg, args.reference, use_cache=not args.skip_write)
     out = open(args.output, "wb") if args.output else sys.stdout.buffer

@@ -58,6 +58,17 @@ class Config:
     skip_save: bool = False
     bam_cigar_fix: bool = False
 
+    # Debug / parity flags (ArgParser.cpp:240-255; vcf/bed-filter/print-all
+    # are parsed but consumed nowhere upstream — same here)
+    skip_align: bool = False        # AlignmentBuffer.cpp:3398
+    stdout_mode: int = 0            # AlignmentBuffer.h:334-340 debug dumps
+    print_all: bool = False
+    verbose: bool = False
+    color: bool = False
+    subread_aligner: int = 0        # NGM.cpp:350-362
+    vcf: Optional[str] = None
+    bed_filter: Optional[str] = None
+
     # Runtime
     threads: int = 1
     batch_reads: int = 512          # reads per host intake batch

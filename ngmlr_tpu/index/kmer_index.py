@@ -42,7 +42,7 @@ import numpy as np
 from ..io.reference import ReferenceGenome
 
 INDEX_COOKIE = 0x1701E  # PrefixTable.cpp:21
-INDEX_VERSION = 2
+INDEX_VERSION = 3   # v3: scale-adaptive dense/sparse representation
 
 
 import functools
@@ -67,18 +67,37 @@ def _revcomp_table(k: int) -> np.ndarray:
             + hi_t[:, None]).reshape(-1)
 
 
-def revcomp_prefix(prefix, k: int):
-    """Reverse-complement of 2-bit packed k-mers ((c>>1)&3 encoding).
-
-    Complement = XOR each 2-bit group with 0b10 (PrefixTable.cpp:70-88),
-    then reverse the k groups. Works on scalars or numpy arrays.
-    """
+def _revcomp_loop(prefix, k: int):
     p = np.asarray(prefix, dtype=np.int64) ^ (0xAAAAAAAAAAAAAAA & ((1 << (2 * k)) - 1))
     out = np.zeros_like(p)
     for _ in range(k):
         out = (out << 2) | (p & 3)
         p = p >> 2
     return out
+
+
+@functools.lru_cache(maxsize=8)
+def _rc_half(k_half: int) -> "np.ndarray":
+    return np.asarray(_revcomp_loop(np.arange(4 ** k_half, dtype=np.int64),
+                                    k_half)).astype(np.int64)
+
+
+def revcomp_prefix(prefix, k: int):
+    """Reverse-complement of 2-bit packed k-mers ((c>>1)&3 encoding).
+
+    Complement = XOR each 2-bit group with 0b10 (PrefixTable.cpp:70-88),
+    then reverse the k groups. Works on scalars or numpy arrays; large
+    arrays compose two half-k lookup tables instead of looping k shifts.
+    """
+    p = np.asarray(prefix, dtype=np.int64)
+    if p.ndim == 0 or p.size < 4096 or k < 4:
+        return _revcomp_loop(p, k)
+    k_hi = k // 2
+    k_lo = k - k_hi
+    lo_t = _rc_half(k_lo)
+    hi_t = _rc_half(k_hi)
+    # p = hi * 4^k_lo + lo ; rc(p) = rc(lo) * 4^k_hi + rc(hi)
+    return (lo_t[p & (4 ** k_lo - 1)] << (2 * k_hi)) | hi_t[p >> (2 * k_lo)]
 
 
 def kmer_stream(chars: np.ndarray, k: int, stride: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -89,41 +108,46 @@ def kmer_stream(chars: np.ndarray, k: int, stride: int) -> Tuple[np.ndarray, np.
     stride (CSstatic.cpp:23-73). Returns (prefixes int64, starts int64).
     """
     n = len(chars)
-    if n < k:
+    if n < k or k > 15:
+        if k > 15:
+            raise ValueError("kmer_stream supports k <= 15 (int32 prefixes)")
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    codes = ((chars.astype(np.int64)) >> 1) & 3
+    codes = ((chars >> np.uint8(1)) & np.uint8(3)).astype(np.int32)
     not_n = chars != ord("N")
 
     # validity of each k-mer window: all k chars non-N
-    cs = np.concatenate([[0], np.cumsum(not_n.astype(np.int64))])
+    cs = np.empty(n + 1, dtype=np.int32)
+    cs[0] = 0
+    np.cumsum(not_n, dtype=np.int32, out=cs[1:])
     nstarts = n - k + 1
     win_ok = (cs[k:] - cs[:-k]) == k          # [nstarts]
 
     # rolling 2-bit value (in-place: fresh large allocations fault slowly
     # on the target sandbox — see ngmlr_tpu._tune_allocator)
-    val = np.zeros(nstarts, dtype=np.int64)
+    val = np.zeros(nstarts, dtype=np.int32)
     for j in range(k):
         np.left_shift(val, 2, out=val)
         np.bitwise_or(val, codes[j:j + nstarts], out=val)
 
-    # stride anchored at each segment's first valid window:
-    # segment id = number of N chars before the window start
-    seg_id = cs[:nstarts] * 0  # placeholder
-    n_before = np.arange(nstarts) - cs[:nstarts]  # num Ns before each start? no:
-    # cs[:nstarts][i] = count of non-N in chars[0:i] → Ns before i = i - that
-    seg_id = n_before  # distinct value per N-run prefix → constant within a segment
+    # stride anchored at each segment's first valid window: segment id =
+    # number of N chars before the window start (constant within a segment)
+    seg_id = np.arange(nstarts, dtype=np.int32)
+    np.subtract(seg_id, cs[:nstarts], out=seg_id)
 
     idx = np.nonzero(win_ok)[0]
     if len(idx) == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    seg_of = seg_id[idx]
-    # first valid window index within each segment
-    first_new = np.ones(len(idx), dtype=bool)
-    first_new[1:] = seg_of[1:] != seg_of[:-1]
-    seg_first = np.maximum.accumulate(np.where(first_new, idx, 0))
-    keep = ((idx - seg_first) % stride) == 0
-    starts = idx[keep]
-    return val[starts], starts.astype(np.int64)
+    if stride == 1:
+        starts = idx
+    else:
+        seg_of = seg_id[idx]
+        # first valid window index within each segment
+        first_new = np.ones(len(idx), dtype=bool)
+        first_new[1:] = seg_of[1:] != seg_of[:-1]
+        seg_first = np.maximum.accumulate(np.where(first_new, idx, 0))
+        keep = ((idx - seg_first) % stride) == 0
+        starts = idx[keep]
+    return val[starts].astype(np.int64), starts.astype(np.int64)
 
 
 class KmerIndex:
@@ -205,11 +229,12 @@ class KmerIndex:
 
         kept_uniq = uniq[used_u]
         u = len(kept_uniq)
-        if u * 16 >= n_prefix:
-            # dense representation (human-scale genomes): O(1) bucket lookup
-            bucket_start = np.zeros(n_prefix + 1, dtype=np.int64)
+        if u * 128 >= n_prefix:
+            # dense representation: O(1) bucket lookup (int32 — position
+            # counts are < 2^31 per the uint32 device position space)
+            bucket_start = np.zeros(n_prefix + 1, dtype=np.int32)
             counts = np.bincount(sorted_prefix, minlength=n_prefix)
-            bucket_start[1:] = np.cumsum(counts)
+            np.cumsum(counts, dtype=np.int32, out=bucket_start[1:])
             return cls(k, bucket_start, positions, bin_size, kmer_skip)
         # sparse representation: searchsorted over the unique prefix list
         bucket_start = np.zeros(u + 1, dtype=np.int64)

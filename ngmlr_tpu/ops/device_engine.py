@@ -79,6 +79,18 @@ def _pow2(x: int, lo: int) -> int:
     return v
 
 
+def _size_class(x: int, lo: int) -> int:
+    """Smallest bucket >= x from the {2^n, 1.5*2^n} size classes — halves
+    the average padding waste of pure pow2 at a modest shape-count cost."""
+    v = lo
+    while True:
+        if x <= v:
+            return v
+        if x <= v + v // 2:
+            return v + v // 2
+        v *= 2
+
+
 # ---------------------------------------------------------------------------
 # descriptors
 # ---------------------------------------------------------------------------
@@ -196,6 +208,9 @@ class DeviceContext:
                 Rp = _pow2(p.ref.W, 512)
             Qp = _pow2(max(p.qry.length, 1), 64)
             buckets.setdefault((Rp, Qp), []).append(i)
+        s_impl = ("pallas" if jax.default_backend() == "tpu"
+                  and not os.environ.get("NGMLR_TPU_NO_PALLAS") else "scan")
+        pending = []
         for (Rp, Qp), idxs in buckets.items():
             P = _pow2(len(idxs), 8)
             pu = np.zeros((P, 2), dtype=np.uint32)   # ds, hi
@@ -205,11 +220,14 @@ class DeviceContext:
                 pu[bi] = (p.ref.ds, p.ref.hi)
                 pi[bi] = (p.ref.diff, p.ref.W,
                           p.qry.start, p.qry.length, 1 if p.qry.rev else 0)
-            s_impl = ("pallas" if jax.default_backend() == "tpu"
-                      and not os.environ.get("NGMLR_TPU_NO_PALLAS") else "scan")
             scores = _score_kernel(self.genome, self.readbuf, jnp.asarray(pu),
                                    jnp.asarray(pi), Rp=Rp, Qp=Qp, impl=s_impl)
-            scores = np.asarray(scores)
+            pending.append((idxs, scores))
+            self.stats["score_waves"] += 1
+            self.stats["cells"] += len(idxs) * Rp * Qp
+        # one device->host round trip for every bucket of the wave
+        fetched = jax.device_get([s for _, s in pending])
+        for (idxs, _), scores in zip(pending, fetched):
             for bi, i in enumerate(idxs):
                 p = problems[i]
                 if (p.ref.W + 1 >= MAX_SEQ_LEN
@@ -217,8 +235,6 @@ class DeviceContext:
                     p.result = -1.0
                 else:
                     p.result = float(scores[bi])
-            self.stats["score_waves"] += 1
-            self.stats["cells"] += len(idxs) * Rp * Qp
         self.stats["score_problems"] += len(problems)
         self.stats["score_s"] += time.perf_counter() - t0
 
@@ -249,11 +265,14 @@ class DeviceContext:
         t0 = time.perf_counter()
         buckets = {}
         for i, p in enumerate(problems):
-            Wp = _pow2(max(p.ref.W, 1), 256)
-            Hp = _pow2(max(p.qry.length, 1), 256)
-            L = _pow2(p.width + 3, 128)
+            Wp = _size_class(max(p.ref.W, 1), 256)
+            Hp = _size_class(max(p.qry.length, 1), 256)
+            # lanes: multiples of 128 up to 1024, then size classes
+            w = p.width + 3
+            L = (w + 127) // 128 * 128 if w <= 1024 else _size_class(w, 1024)
             buckets.setdefault((Wp, Hp, L), []).append(i)
         pvec = jnp.asarray(params, dtype=jnp.float32)
+        pending = []
         for (Wp, Hp, L), idxs in buckets.items():
             B = _pow2(len(idxs), 8)
             impl, K = self._convex_impl(Wp, Hp, L)
@@ -269,16 +288,19 @@ class DeviceContext:
                           p.qry.start, p.qry.length, 1 if p.qry.rev else 0,
                           p.corridor_mode, p.corridor_i, p.width)
                 pf[bi] = p.corridor_f
-            out = _convex_kernel(self.genome, self.readbuf, jnp.asarray(pu),
-                                 jnp.asarray(pi), jnp.asarray(pf), pvec,
-                                 Wp=Wp, Hp=Hp, L=L, impl=impl, K=K)
-            packed_ops_dev, scalars_dev = out
-            scalars = np.asarray(scalars_dev)   # [B, 6] i32
-            # exact-ish slice: transfer only the op range actually used
+            packed_ops_dev, scalars_dev = _convex_kernel(
+                self.genome, self.readbuf, jnp.asarray(pu), jnp.asarray(pi),
+                jnp.asarray(pf), pvec, Wp=Wp, Hp=Hp, L=L, impl=impl, K=K)
+            # transfer only the op range actually used
             t_max = max(problems[i].T for i in idxs)
             n4 = min(packed_ops_dev.shape[1],
                      ((t_max + 3) // 4 + 255) // 256 * 256)
-            packed = np.asarray(packed_ops_dev[:, :n4])
+            pending.append((idxs, packed_ops_dev[:, :n4], scalars_dev))
+            self.stats["align_waves"] += 1
+            self.stats["cells"] += len(idxs) * (Wp + Hp) * L
+        # one device->host round trip for every bucket of the wave
+        fetched = jax.device_get([(p, s) for _, p, s in pending])
+        for (idxs, _, _), (packed, scalars) in zip(pending, fetched):
             for bi, i in enumerate(idxs):
                 p = problems[i]
                 (score_i, bx, by, sx, sy, okf) = scalars[bi]
@@ -287,8 +309,6 @@ class DeviceContext:
                 p.stop_x, p.stop_y = int(sx), int(sy)
                 p.ok = bool(okf)
                 p.ops = packed[bi]
-            self.stats["align_waves"] += 1
-            self.stats["cells"] += len(idxs) * (Wp + Hp) * L
         self.stats["align_problems"] += len(problems)
         self.stats["align_s"] += time.perf_counter() - t0
 

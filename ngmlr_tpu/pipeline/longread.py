@@ -364,14 +364,15 @@ class LongReadProcessor:
                                  realign=realign, full_alignment=full_alignment,
                                  short_read=False, read_part_length=self.rpl)
 
-    def check_for_sv(self, align: Align, iv: Interval, read_part_seq: SeqView,
-                     inv_mid_ref: int, inv_mid_read: int, inversion_length: int,
-                     read: Read) -> int:
-        """checkForSV (AlignmentBuffer.cpp:1158-1265)."""
+    def _sv_probes(self, align: Align, iv: Interval, read_part_seq: SeqView,
+                   inv_mid_ref: int, inv_mid_read: int, inversion_length: int
+                   ) -> Optional[Tuple[ScoreProblem, ScoreProblem]]:
+        """checkForSV's two scoring probes (AlignmentBuffer.cpp:1158-1230);
+        None when the reference answers SV_NONE without scoring."""
         read_check_length = 50
         ref_check_length = 250
         if inversion_length <= 10:
-            return SV_NONE
+            return None
         check_loc = (iv.on_ref_start + align.position_offset + inv_mid_ref
                      - ref_check_length - inversion_length // 2)
         ref_seq_length = inversion_length + 2 * ref_check_length
@@ -380,17 +381,19 @@ class LongReadProcessor:
             from ..ops.device_engine import RefDesc
             ref_desc = RefDesc(0, 0, 0, 0)   # empty reference -> scores 0
         full_len = read_part_seq.length
-        read_seq = None
-        if read_check_length <= inv_mid_read and (inv_mid_read + read_check_length) < full_len:
-            read_seq = read_part_seq.sub(inv_mid_read - read_check_length,
-                                         inv_mid_read + read_check_length)
-        if read_seq is None or read_seq.length == 0:
-            return SV_NONE
-        p_fwd = ScoreProblem(ref_desc, read_seq.desc())
-        p_rev = ScoreProblem(ref_desc, read_seq.revcomp().desc())
-        self._score_wave([p_fwd, p_rev])
-        score_fwd = p_fwd.result
-        score_rev = p_rev.result
+        if not (read_check_length <= inv_mid_read
+                and (inv_mid_read + read_check_length) < full_len):
+            return None
+        read_seq = read_part_seq.sub(inv_mid_read - read_check_length,
+                                     inv_mid_read + read_check_length)
+        if read_seq.length == 0:
+            return None
+        return (ScoreProblem(ref_desc, read_seq.desc()),
+                ScoreProblem(ref_desc, read_seq.revcomp().desc()))
+
+    def _sv_verdict(self, score_fwd: float, score_rev: float) -> int:
+        """checkForSV's decision (AlignmentBuffer.cpp:1231-1265)."""
+        read_check_length = 50
         min_score = 1.0 * read_check_length / 4.0
         ratio = (score_rev / score_fwd) if score_fwd != 0 else float("inf")
         if score_fwd == 0 and score_rev == 0:
@@ -402,55 +405,60 @@ class LongReadProcessor:
         return SV_NONE
 
     def detect_misalignment(self, align: Align, aligned_iv: Interval,
-                            read_part_seq: bytes, read: Read):
+                            read_part_seq: SeqView, read: Read):
         """detectMisalignment (AlignmentBuffer.cpp:1267-1452).
 
-        Returns (sv_type, left_of_inv, right_of_inv)."""
+        Returns (sv_type, left_of_inv, right_of_inv). Vectorized run
+        detection over nmPerPosition: an 'inversion row' has windowed
+        identity in (0, 0.75) i.e. nm_count in [9, 31]; rows <= 21 apart
+        merge into one peak (the reference's 20-step countdown closes a
+        peak on the 21st consecutive clean row); a trailing peak without
+        21 clean rows before alignment_length never closes. All peaks'
+        scoring probes fire as ONE device wave."""
         max_check_count = max(1, int((read.length / 1000.0) / 2.0))
-        max_distance = 20
-        distance = max_distance
-        start_inv = stop_inv = -1
-        start_inv_read = stop_inv_read = -1
-        check_count = 0
+        nmp = align.nm_per_position
+        n_rows = align.alignment_length
+
+        n_use = min(len(nmp), n_rows)
+        nm_count = nmp[:n_use, 2]
+        inv_rows = np.nonzero((nm_count >= 9) & (nm_count <= 31))[0]
+        if len(inv_rows) == 0:
+            return SV_NONE, None, None
+        breaks = np.nonzero(np.diff(inv_rows) > 21)[0]
+        g_start = np.concatenate([[0], breaks + 1])
+        g_end = np.concatenate([breaks, [len(inv_rows) - 1]])
+        # a peak closes only if 21 clean rows follow before n_rows
+        closed = inv_rows[g_end] + 21 <= n_rows - 1
+        g_start, g_end = g_start[closed], g_end[closed]
+
+        check_count = len(g_start)
+        peaks = []
+        probes = []
+        for s, e in zip(g_start, g_end):
+            first, last = int(inv_rows[s]), int(inv_rows[e])
+            start_inv, start_inv_read = int(nmp[first, 1]), int(nmp[first, 0])
+            stop_inv, stop_inv_read = int(nmp[last, 1]), int(nmp[last, 0])
+            mid_ref = (start_inv + stop_inv) // 2
+            mid_read = (start_inv_read + stop_inv_read) // 2
+            inv_len = abs(stop_inv - start_inv)
+            pr = self._sv_probes(align, aligned_iv, read_part_seq,
+                                 mid_ref, mid_read, inv_len)
+            peaks.append((mid_ref, mid_read, pr))
+            if pr is not None:
+                probes.extend(pr)
+        if probes:
+            self._score_wave(probes)
+
         best_result = SV_NONE
         best_mid_ref = 0
         best_mid_read = 0
-
-        nmp = align.nm_per_position
-        n_rows = align.alignment_length
-        for i in range(n_rows):
-            if i < len(nmp):
-                read_p, ref_p, nm_count = int(nmp[i, 0]), int(nmp[i, 1]), int(nmp[i, 2])
-            else:
-                read_p = ref_p = nm_count = 0
-            nm = (32 - nm_count) / 32.0
-            is_inv = 0.0 < nm < 0.75
-            if start_inv == -1:
-                if is_inv:
-                    start_inv = stop_inv = ref_p
-                    start_inv_read = stop_inv_read = read_p
-            else:
-                if is_inv:
-                    stop_inv = ref_p
-                    stop_inv_read = read_p
-                    distance = max_distance
-                else:
-                    if distance == 0:
-                        mid_ref = (start_inv + stop_inv) // 2
-                        mid_read = (start_inv_read + stop_inv_read) // 2
-                        inv_len = abs(stop_inv - start_inv)
-                        check_count += 1
-                        result = self.check_for_sv(align, aligned_iv, read_part_seq,
-                                                   mid_ref, mid_read, inv_len, read)
-                        if best_result == SV_NONE or result == SV_INVERSION:
-                            best_result = result
-                            best_mid_ref = mid_ref
-                            best_mid_read = mid_read
-                        start_inv = stop_inv = -1
-                        start_inv_read = stop_inv_read = -1
-                        distance = max_distance
-                    else:
-                        distance -= 1
+        for mid_ref, mid_read, pr in peaks:
+            result = (SV_NONE if pr is None
+                      else self._sv_verdict(pr[0].result, pr[1].result))
+            if best_result == SV_NONE or result == SV_INVERSION:
+                best_result = result
+                best_mid_ref = mid_ref
+                best_mid_read = mid_read
 
         if check_count > max_check_count:
             return SV_NONE, None, None
@@ -772,7 +780,8 @@ class LongReadProcessor:
                         self.shorten_interval_start(iv, overlap)
             if iv.on_ref_start > iv.on_ref_stop:
                 iv.on_ref_start, iv.on_ref_stop = iv.on_ref_stop, iv.on_ref_start
-            self.align_single_or_multiple(read, iv, records, tree)
+            if not cfg.skip_align:    # --skip-align (AlignmentBuffer.cpp:3398)
+                self.align_single_or_multiple(read, iv, records, tree)
 
         if not records:
             return False, []

@@ -72,15 +72,31 @@ class Pipeline:
         writer = SamWriter(self.ref, self.cfg, out)
         writer.write_prolog()
         t0 = time.time()
+        self._read_bp = 0
         for batch in read_batches(query_path, self.cfg.batch_reads):
+            self._read_bp += sum(len(r.seq) for r in batch if not r.empty)
             self._run_batch(batch, writer)
             if progress:
-                el = time.time() - t0
-                sys.stderr.write(
-                    f"Processed: {self.stats['reads']}, R/S: "
-                    f"{self.stats['reads'] / max(el, 1e-9):.2f}, "
-                    f"mapped: {self.stats['mapped']}\n")
+                self._progress_line(t0)
         return self.stats
+
+    def _progress_line(self, t0: float):
+        """The reference's 2s progress line (NGM.cpp:374-428, format
+        documented in its README): Processed: N (alignRate), R/S, RL,
+        Time: cs score align (here: wall-seconds per stage on device),
+        Align: success ratio, avg corridor width, avg align fraction."""
+        el = max(time.time() - t0, 1e-9)
+        n = self.stats["reads"]
+        mapped = self.stats["mapped"]
+        ds = self.ctx.stats
+        align_ok = ds["align_problems"] or 1
+        sys.stderr.write(
+            "Processed: %d (%.2f), R/S: %.2f, RL: %d, "
+            "Time: %.2f %.2f %.2f, Align: %.2f, %d, %.2f\r\n"
+            % (n, mapped / max(1, n), n / el,
+               self._read_bp // max(1, n),
+               0.0, ds["score_s"], ds["align_s"],
+               1.0, 0, ds["align_s"] / el))
 
     # ------------------------------------------------------------------
 

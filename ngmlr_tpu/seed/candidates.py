@@ -56,28 +56,28 @@ def search_batch(index: KmerIndex, seqs: List[bytes], sensitivity: float = 0.8,
     bin_size = index.bin_size
     sens = f32(sensitivity)
 
-    # --- per-subread k-mer streams, concatenated --------------------------
-    sub_idx_parts, prefix_parts, pos_parts, emit_parts = [], [], [], []
-    n_kmer_positions = np.zeros(len(seqs), dtype=np.int64)
-    emit_base = 0
-    for si, seq in enumerate(seqs):
-        chars = np.frombuffer(seq, dtype=np.uint8)
-        prefixes, starts = kmer_stream(chars, k, stride=1)
-        n_kmer_positions[si] = len(starts)
-        if len(starts):
-            sub_idx_parts.append(np.full(len(starts), si, dtype=np.int64))
-            prefix_parts.append(prefixes)
-            pos_parts.append(starts)
-            emit_parts.append(np.arange(emit_base, emit_base + len(starts)))
-            emit_base += len(starts)
+    # --- per-subread k-mer streams: ONE kmer_stream pass over all subreads
+    # joined with 'N' separators (N-runs split segments, so no window ever
+    # crosses a boundary; read-side stride is 1 so segment anchoring is
+    # irrelevant) ------------------------------------------------------------
+    total = sum(len(s) for s in seqs)
+    concat = np.empty(total + len(seqs), dtype=np.uint8)
+    offsets = np.empty(len(seqs) + 1, dtype=np.int64)
+    pos = 0
+    for si, s in enumerate(seqs):
+        offsets[si] = pos
+        n = len(s)
+        concat[pos:pos + n] = np.frombuffer(s, dtype=np.uint8)
+        concat[pos + n] = ord("N")
+        pos += n + 1
+    offsets[-1] = pos
 
-    if not prefix_parts:
+    prefixes, starts = kmer_stream(concat, k, stride=1)
+    if len(starts) == 0:
         return [_empty()] * len(seqs)
-
-    sub_idx = np.concatenate(sub_idx_parts)
-    prefixes = np.concatenate(prefix_parts)
-    positions = np.concatenate(pos_parts)
-    emit_idx = np.concatenate(emit_parts)
+    sub_idx = np.searchsorted(offsets, starts, side="right") - 1
+    positions = starts - offsets[sub_idx]
+    emit_idx = np.arange(len(starts), dtype=np.int64)
     read_lens = np.asarray([len(s) for s in seqs], dtype=np.int64)
 
     rc = revcomp_prefix(prefixes, k)
