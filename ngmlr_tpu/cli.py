@@ -62,8 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rg-id", default=None)
     for tag in ("sm", "lb", "pl", "ds", "dt", "pu", "pi", "pg", "cn", "fo", "ks"):
         p.add_argument(f"--rg-{tag}", default=None)
-    p.add_argument("--batch-reads", type=int, default=512,
+    p.add_argument("--batch-reads", type=int, default=192,
                    help="host intake batch (TPU batching granularity)")
+    p.add_argument("--shard", default=None, metavar="I/N",
+                   help="map only every N-th read starting at I (multi-host "
+                        "data parallelism; merge shard outputs with "
+                        "scripts/merge_sams.py)")
     return p
 
 
@@ -122,12 +126,19 @@ def main(argv=None):
     if args.stdout != 0:
         sys.stderr.write(
             f"stdout debug mode {args.stdout} is not implemented yet\n")
+    shard, n_shards = 0, 1
+    if args.shard:
+        shard, n_shards = (int(v) for v in args.shard.split("/"))
+        if not (0 <= shard < n_shards):
+            sys.stderr.write(f"Invalid --shard {args.shard}\n")
+            return 1
     cfg = config_from_args(args, argv)
     pipeline = Pipeline(cfg, args.reference, use_cache=not args.skip_write)
     out = open(args.output, "wb") if args.output else sys.stdout.buffer
     try:
         stats = pipeline.run(args.query, out,
-                             progress=args.progress and not args.no_progress)
+                             progress=args.progress and not args.no_progress,
+                             shard=shard, n_shards=n_shards)
     finally:
         if args.output:
             out.close()

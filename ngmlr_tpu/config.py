@@ -71,7 +71,7 @@ class Config:
 
     # Runtime
     threads: int = 1
-    batch_reads: int = 512          # reads per host intake batch
+    batch_reads: int = 192          # reads per host intake batch
     progress: bool = True
 
     # Output / read-group

@@ -94,9 +94,16 @@ def read_stream(path: str, start_id: int = 0) -> Iterator[Read]:
         rid += ID_JUMP
 
 
-def read_batches(path: str, batch_reads: int) -> Iterator[List[Read]]:
+def read_batches(path: str, batch_reads: int, shard: int = 0,
+                 n_shards: int = 1) -> Iterator[List[Read]]:
+    """Batch intake; with n_shards > 1 only every n_shards-th read (by
+    intake order, offset `shard`) is yielded — the multi-host input
+    sharding of SURVEY §2.11 (reads are embarrassingly parallel; read ids
+    keep their global values so shard outputs merge deterministically)."""
     batch: List[Read] = []
-    for read in read_stream(path):
+    for i, read in enumerate(read_stream(path)):
+        if n_shards > 1 and i % n_shards != shard:
+            continue
         batch.append(read)
         if len(batch) >= batch_reads:
             yield batch

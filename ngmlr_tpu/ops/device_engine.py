@@ -239,21 +239,26 @@ class DeviceContext:
         self.stats["score_s"] += time.perf_counter() - t0
 
     @staticmethod
-    def _convex_impl(Wp: int, Hp: int, L: int) -> Tuple[str, int]:
-        """Pick the kernel implementation + wavefront block size for a
-        bucket: Pallas on TPU when the working set fits VMEM, else the
-        pure-XLA scan."""
+    def _convex_impl(Wp: int, Hp: int, L: int,
+                     n_problems: int) -> Tuple[str, int, int]:
+        """Pick the kernel implementation, wavefront block size K, and
+        problems-per-tile BT for a bucket: Pallas on TPU when the working
+        set fits VMEM, else the pure-XLA scan. Larger BT amortizes Mosaic
+        per-op overhead; padding waste caps it for small buckets."""
         if (jax.default_backend() != "tpu"
                 or os.environ.get("NGMLR_TPU_NO_PALLAS")):
-            return "scan", 256
+            return "scan", 256, 8
         # K is the lane dim of the per-wavefront scalar blocks -> >= 128
         K = 128 if L > 256 else 256
-        vmem = (8 * 4 * (Wp + Hp + 8 * L)      # i32 sequence rows
-                + 8 * K * L * 4                 # dirs accumulator
-                + 3 * 8 * K * L)                # dirs in/out blocks (u8)
-        if vmem > 10 * 1024 * 1024:
-            return "scan", 256
-        return "pallas", K
+        for BT in (16, 8):
+            if n_problems <= BT // 2 and BT > 8:
+                continue
+            vmem = (BT * 4 * (Wp + Hp + 8 * L)   # i32 sequence rows (x2 seq)
+                    + BT * K * L * 4              # dirs accumulator
+                    + 3 * BT * K * L)             # dirs in/out blocks (u8)
+            if vmem <= 10 * 1024 * 1024:
+                return "pallas", K, BT
+        return "scan", 256, 8
 
     # -- banded convex alignment --------------------------------------------
 
@@ -274,8 +279,9 @@ class DeviceContext:
         pvec = jnp.asarray(params, dtype=jnp.float32)
         pending = []
         for (Wp, Hp, L), idxs in buckets.items():
-            B = _pow2(len(idxs), 8)
-            impl, K = self._convex_impl(Wp, Hp, L)
+            impl, K, BT = self._convex_impl(Wp, Hp, L, len(idxs))
+            B = (len(idxs) + BT - 1) // BT * BT
+            B = max(B, 8)
             pu = np.zeros((B, 2), dtype=np.uint32)   # ds, hi
             pi = np.zeros((B, 8), dtype=np.int32)
             pf = np.zeros((B, 2), dtype=np.float32)
@@ -290,7 +296,8 @@ class DeviceContext:
                 pf[bi] = p.corridor_f
             packed_ops_dev, scalars_dev = _convex_kernel(
                 self.genome, self.readbuf, jnp.asarray(pu), jnp.asarray(pi),
-                jnp.asarray(pf), pvec, Wp=Wp, Hp=Hp, L=L, impl=impl, K=K)
+                jnp.asarray(pf), pvec, Wp=Wp, Hp=Hp, L=L, impl=impl, K=K,
+                BT=BT)
             # transfer only the op range actually used
             t_max = max(problems[i].T for i in idxs)
             n4 = min(packed_ops_dev.shape[1],
@@ -406,9 +413,10 @@ def _shift_up(a):   # out[l] = a[l-1]
     return jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("Wp", "Hp", "L", "impl", "K"))
+@functools.partial(jax.jit,
+                   static_argnames=("Wp", "Hp", "L", "impl", "K", "BT"))
 def _convex_kernel(genome, readbuf, pu, pi, pf, params, Wp: int, Hp: int,
-                   L: int, impl: str = "scan", K: int = 256):
+                   L: int, impl: str = "scan", K: int = 256, BT: int = 8):
     """Fused banded convex-gap fill + on-device backtrack.
 
     pu: uint32 [B, 2] = (ds, hi);
@@ -482,10 +490,10 @@ def _convex_kernel(genome, readbuf, pu, pi, pf, params, Wp: int, Hp: int,
         params8 = jnp.concatenate([params.astype(jnp.float32),
                                    jnp.zeros(2, jnp.float32)])
         dirs, best, by, bx = convex_fill(params8, qry_i, ymin_p, ymax_p,
-                                         d1p, d2p, rcpatch, qcpatch, L, K)
+                                         d1p, d2p, rcpatch, qcpatch, L, K, BT)
         ops_i, sx, sy, state = convex_backtrack(
             dirs, ymin_p, bx, by, mode[:, None], ci[:, None],
-            width[:, None], pf.astype(jnp.float32), L, K)
+            width[:, None], pf.astype(jnp.float32), L, K, BT)
         ok = (state[:, 0] == 1).astype(jnp.int32)   # DONE
         scalars = jnp.stack([
             jax.lax.bitcast_convert_type(best[:, 0], jnp.int32),

@@ -45,7 +45,7 @@ STOP, DIAG, INS, DEL = 0, 1, 2, 3
 CORRIDOR_FULL, CORRIDOR_LINEAR, CORRIDOR_ENDPOINTS, CORRIDOR_ANCHORS = 0, 1, 2, 3
 WALK, DONE, FAIL = 0, 1, 2
 
-BT = 8          # problems per grid step in the convex kernels (f32 sublanes)
+DEFAULT_BT = 8  # problems per grid step in the convex kernels (f32 sublanes)
 PT = 128        # problems per grid step in the scoring kernel (lanes)
 
 
@@ -60,7 +60,7 @@ def _iota(shape, dim):
 def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
                  dirs_ref, best_ref, by_ref, bx_ref,
                  s1_ref, p1d_ref, r1_ref, s2_ref, rc_ref, qc_ref,
-                 bb_ref, bby_ref, bbx_ref, dirs_acc, *, L, nT, K):
+                 bb_ref, bby_ref, bbx_ref, dirs_acc, *, L, nT, K, BT):
     tb = pl.program_id(1)
     mat = params_ref[0, 0]
     mis = params_ref[0, 1]
@@ -176,7 +176,7 @@ def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
     # group so each step reads a static column
     def group(g, carry):
         base = pl.multiple_of(g * 8, 8)
-        ext = scal_ref[pl.ds(base, 8), :].T           # [128, 8] i32
+        ext = scal_ref[pl.ds(base, 8), :].T           # [sw, 8] i32
         dirs_rows = [None] * 8
         for u in range(8):
             carry = step(g * 8 + u, u, ext, dirs_rows, carry)
@@ -213,7 +213,7 @@ def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
 
 
 def convex_fill(params, qry_pad, ymin, ymax, d1, d2, rcpatch, qcpatch,
-                L: int, K: int = 256):
+                L: int, K: int = 256, BT: int = 8):
     """params f32 [8]; qry_pad i32 [B, HL] (HL = Hp + 2L, L zeros each
     side); ymin/ymax/d1/d2/rcpatch/qcpatch i32 [B, TpP] (TpP multiple of K);
     d1[t]=ymin[t]-ymin[t-1] with ymin[-1]:=0, d2 likewise over two steps.
@@ -229,9 +229,10 @@ def convex_fill(params, qry_pad, ymin, ymax, d1, d2, rcpatch, qcpatch,
     # col = btile*128 + arr*BT + b
     scal = jnp.stack([ymin, ymax, d1, d2, rcpatch, qcpatch], axis=0)
     scal = scal.reshape(6, nB, BT, TpP).transpose(3, 1, 0, 2)
+    sw = (6 * BT + 127) // 128 * 128
     scal = scal.reshape(TpP, nB, 6 * BT)
-    scal = jnp.pad(scal, ((0, 0), (0, 0), (0, 128 - 6 * BT)))
-    scal = scal.reshape(TpP, nB * 128)
+    scal = jnp.pad(scal, ((0, 0), (0, 0), (0, sw - 6 * BT)))
+    scal = scal.reshape(TpP, nB * sw)
 
     def b_spec(width):
         return pl.BlockSpec((BT, width), lambda b, t: (b, 0),
@@ -249,14 +250,14 @@ def convex_fill(params, qry_pad, ymin, ymax, d1, d2, rcpatch, qcpatch,
               <= last_active[:, None]).astype(jnp.int32)
 
     out = pl.pallas_call(
-        functools.partial(_fill_kernel, L=L, nT=nT, K=K),
+        functools.partial(_fill_kernel, L=L, nT=nT, K=K, BT=BT),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 8), lambda b, t: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # full activity table
             b_spec(HL),
-            pl.BlockSpec((K, 128), lambda b, t: (t, b),
+            pl.BlockSpec((K, sw), lambda b, t: (t, b),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -293,7 +294,7 @@ def convex_fill(params, qry_pad, ymin, ymax, d1, d2, rcpatch, qcpatch,
 def _bt_kernel(dirs_ref, ymin_ref, bx_ref, by_ref, mode_ref, ci_ref,
                width_ref, cf_ref,
                ops_ref, sx_ref, sy_ref, st_ref,
-               x_s, y_s, state_s, stx_s, sty_s, *, L, nT, K):
+               x_s, y_s, state_s, stx_s, sty_s, *, L, nT, K, BT):
     tb = pl.program_id(1)          # 0 = highest wavefront block
     lanes = _iota((BT, L), 1)
     cols = _iota((BT, K), 1)
@@ -391,7 +392,7 @@ def _bt_kernel(dirs_ref, ymin_ref, bx_ref, by_ref, mode_ref, ci_ref,
 
 
 def convex_backtrack(dirs, ymin, bx, by, mode, ci, width, cf,
-                     L: int, K: int = 256):
+                     L: int, K: int = 256, BT: int = 8):
     """dirs u8 [B, TpP, L]; ymin i32 [B, TpP]; bx/by/mode/ci/width i32
     [B,1]; cf f32 [B,2]. Returns (ops i32 [B, TpP], sx, sy, state i32
     [B,1])."""
@@ -405,7 +406,7 @@ def convex_backtrack(dirs, ymin, bx, by, mode, ci, width, cf,
                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_bt_kernel, L=L, nT=nT, K=K),
+        functools.partial(_bt_kernel, L=L, nT=nT, K=K, BT=BT),
         grid=grid,
         in_specs=[
             pl.BlockSpec((BT, K, L), lambda b, t, _n=nT: (b, _n - 1 - t, 0),

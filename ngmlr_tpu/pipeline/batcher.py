@@ -17,6 +17,8 @@ Wall-clock per read batch ≈ (max sequential request depth of any read) ×
 (wave latency) instead of (total requests) × (single-launch latency).
 """
 
+import os
+import sys
 import threading
 from typing import Callable, List, Optional, Sequence
 
@@ -24,7 +26,10 @@ from ..ops.device_engine import AlignProblem, ScoreProblem, DeviceContext
 
 
 class WaveBatcher:
-    def __init__(self, ctx: DeviceContext, max_workers: int = 192):
+    # the pool should cover a whole intake batch: a smaller pool refills
+    # mid-stream and every refill's first requests form their own tiny
+    # wave; far more threads than that just thrash the GIL on a 1-core host
+    def __init__(self, ctx: DeviceContext, max_workers: int = 256):
         self.ctx = ctx
         self.max_workers = max_workers
         self._lock = threading.Condition()
@@ -121,9 +126,16 @@ class WaveBatcher:
 
         for t in threads:
             t.join()
-        for e in errors:
+        for i, e in enumerate(errors):
             if e is not None:
-                raise e
+                if os.environ.get("NGMLR_TPU_STRICT"):
+                    raise e
+                # reference semantics: a failing read logs and the run
+                # continues (NGMTask.cpp:19-31, NGM.cpp:262-265); the
+                # caller sees None and writes the read as unmapped
+                sys.stderr.write(
+                    f"Error while processing read job {i}: {e!r}\n")
+                results[i] = None
         return results
 
     def _fire(self, aligns, scores):

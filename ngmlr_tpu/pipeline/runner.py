@@ -68,12 +68,14 @@ class Pipeline:
             off += n
         self.ctx.upload_reads(buf)
 
-    def run(self, query_path: str, out: IO[bytes], progress: bool = False):
+    def run(self, query_path: str, out: IO[bytes], progress: bool = False,
+            shard: int = 0, n_shards: int = 1):
         writer = SamWriter(self.ref, self.cfg, out)
         writer.write_prolog()
         t0 = time.time()
         self._read_bp = 0
-        for batch in read_batches(query_path, self.cfg.batch_reads):
+        for batch in read_batches(query_path, self.cfg.batch_reads,
+                                  shard=shard, n_shards=n_shards):
             self._read_bp += sum(len(r.seq) for r in batch if not r.empty)
             self._run_batch(batch, writer)
             if progress:
@@ -177,7 +179,7 @@ class Pipeline:
                 read = batch[ri]
                 if read.empty or ri not in per_read_short:
                     continue
-                if ri not in job_key:
+                if ri not in job_key or outcomes[job_key[ri]] is None:
                     writer.write_read(read, [], False)
                     self._count(False)
                 else:
@@ -187,6 +189,10 @@ class Pipeline:
             for ri in group:
                 read = batch[ri]
                 if read.empty or ri not in scored_by_ri:
+                    continue
+                if outcomes[job_key[ri]] is None:   # per-read failure
+                    writer.write_read(read, [], False)
+                    self._count(False)
                     continue
                 mapped, records = outcomes[job_key[ri]]
                 writer.write_read(read, records, mapped)

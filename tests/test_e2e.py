@@ -42,3 +42,33 @@ def test_golden_test2(preset, golden):
                 "-x", preset])
     want = open(os.path.join(GOLDEN_DIR, golden), "rb").read()
     assert _records(out) == _records(want)
+
+
+def test_shard_merge_matches_full_run(tmp_path):
+    """--shard I/N + scripts/merge_sams.py reproduces the unsharded SAM
+    (multi-host data parallelism over reads, SURVEY §2.11)."""
+    import subprocess, sys, os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ref = os.path.join(DATA_DIR, "test_2", "ref_chr21_20kb.fa")
+    qry = os.path.join(DATA_DIR, "test_2", "reads_100_2200bp.fa")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    def run(extra, out):
+        subprocess.run([sys.executable, "-m", "ngmlr_tpu.cli", "-r", ref,
+                        "-q", qry, "-o", str(out)] + extra,
+                       check=True, cwd=repo, env=env,
+                       stderr=subprocess.DEVNULL)
+
+    run([], tmp_path / "full.sam")
+    run(["--shard", "0/2"], tmp_path / "s0.sam")
+    run(["--shard", "1/2"], tmp_path / "s1.sam")
+    subprocess.run([sys.executable, "scripts/merge_sams.py",
+                    str(tmp_path / "merged.sam"),
+                    str(tmp_path / "s0.sam"), str(tmp_path / "s1.sam")],
+                   check=True, cwd=repo)
+
+    def body(p):
+        return [l for l in open(p, "rb").read().splitlines()
+                if not l.startswith(b"@PG")]
+
+    assert body(tmp_path / "full.sam") == body(tmp_path / "merged.sam")
