@@ -83,7 +83,11 @@ def get_intervals_from_anchors(anchors: List[Anchor], read_length: int,
                                max_clis_runs: int = 100,
                                read_part_length: int = 256) -> List[Interval]:
     """getIntervalsFromAnchors (AlignmentBuffer.cpp:876-1115)."""
-    pool = sorted(anchors, key=lambda a: a.on_read)   # stable on ties
+    from ..native import std_sort_perm
+    # std::sort semantics incl. introsort tie order (AlignmentBuffer.cpp:881)
+    order = std_sort_perm(np.asarray([a.on_read for a in anchors],
+                                     dtype=np.int64))
+    pool = [anchors[i] for i in order]
     intervals: List[Interval] = []
     clis_run_number = 0
     run_number = 0

@@ -85,7 +85,37 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_int64,                    # nm buf
                 ctypes.POINTER(CigarResult),
             ]
+            for nm in ("std_sort_perm_i64", "std_sort_perm_f32"):
+                fn3 = getattr(lib, nm)
+                fn3.restype = None
+                fn3.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_int64, ctypes.c_int32]
             _lib = lib
         except Exception:
             _lib = None
         return _lib
+
+
+def std_sort_perm(keys, desc: bool = False):
+    """The permutation std::sort (libstdc++ introsort) applies when sorting
+    records by `keys` — INCLUDING its unstable tie order for ranges > 16
+    elements, which the reference's output depends on (see
+    cigar_native.cpp). Falls back to a stable argsort without the lib."""
+    import numpy as np
+    keys = np.ascontiguousarray(keys)
+    n = len(keys)
+    lib = get_lib()
+    if lib is None or n <= 16:
+        # introsort insertion-sorts ranges <= 16: equivalent to stable
+        if desc:
+            return np.argsort(-keys, kind="stable")
+        return np.argsort(keys, kind="stable")
+    idx = np.empty(n, dtype=np.int32)
+    if keys.dtype == np.float32:
+        lib.std_sort_perm_f32(keys.ctypes.data, idx.ctypes.data, n,
+                              1 if desc else 0)
+    else:
+        keys = keys.astype(np.int64)
+        lib.std_sort_perm_i64(keys.ctypes.data, idx.ctypes.data, n,
+                              1 if desc else 0)
+    return idx

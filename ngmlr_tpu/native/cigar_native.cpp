@@ -354,3 +354,45 @@ int ops_convert(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// std::sort permutation oracles.
+//
+// The reference sorts anchors/intervals/candidate-scores with std::sort
+// (AlignmentBuffer.cpp:881, 3035, 3135, 3279, 3312; ScoreBuffer.cpp:55,
+// 173, 225, 275), which libstdc++ implements as introsort — UNSTABLE for
+// ranges > 16 elements. Tie order is therefore an artifact of introsort's
+// deterministic swap sequence, and byte-identical output requires replaying
+// it. Sorting an index array with a comparator on the carried keys performs
+// the identical comparison/swap sequence, so the resulting permutation
+// matches the reference's element order exactly.
+
+namespace {
+inline void fill_iota(int32_t* idx, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) idx[i] = (int32_t)i;
+}
+}  // namespace
+
+extern "C" void std_sort_perm_i64(const int64_t* keys, int32_t* idx,
+                                  int64_t n, int32_t desc) {
+  fill_iota(idx, n);
+  if (desc) {
+    std::sort(idx, idx + n,
+              [keys](int32_t a, int32_t b) { return keys[a] > keys[b]; });
+  } else {
+    std::sort(idx, idx + n,
+              [keys](int32_t a, int32_t b) { return keys[a] < keys[b]; });
+  }
+}
+
+extern "C" void std_sort_perm_f32(const float* keys, int32_t* idx,
+                                  int64_t n, int32_t desc) {
+  fill_iota(idx, n);
+  if (desc) {
+    std::sort(idx, idx + n,
+              [keys](int32_t a, int32_t b) { return keys[a] > keys[b]; });
+  } else {
+    std::sort(idx, idx + n,
+              [keys](int32_t a, int32_t b) { return keys[a] < keys[b]; });
+  }
+}

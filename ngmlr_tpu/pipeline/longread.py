@@ -35,6 +35,14 @@ f32 = np.float32
 SV_NONE, SV_INVERSION, SV_TRANSLOCATION, SV_UNKNOWN = 0, 1, 2, 3
 
 
+def _std_sorted(items, key, desc=False, dtype=np.int64):
+    """std::sort order incl. the reference's introsort tie behavior for
+    ranges > 16 (AlignmentBuffer.cpp:3035/3135/3279/3312)."""
+    from ..native import std_sort_perm
+    keys = np.asarray([key(x) for x in items], dtype=dtype)
+    return [items[i] for i in std_sort_perm(keys, desc=desc)]
+
+
 @dataclass
 class ScoredSubread:
     """A subread after candidate scoring: all candidates sorted by score
@@ -648,7 +656,7 @@ class LongReadProcessor:
         intervals = get_intervals_from_anchors(anchors, read.length,
                                                max_segment_count,
                                                cfg.max_clis_runs, rpl)
-        intervals.sort(key=lambda iv: iv.on_read_start)
+        intervals = _std_sorted(intervals, lambda iv: iv.on_read_start)
 
         # --- segment building (AlignmentBuffer.cpp:3039-3096) -------------
         segments: List[List[Interval]] = []
@@ -676,7 +684,7 @@ class LongReadProcessor:
         # --- segment merge / SV split (AlignmentBuffer.cpp:3114-3258) -----
         final: List[Interval] = []
         for seg in segments:
-            seg.sort(key=lambda iv: iv.on_read_start)
+            seg[:] = _std_sorted(seg, lambda iv: iv.on_read_start)
             last = seg[0]
             self.extend_interval_start(last, 2 * rpl)
             is_first = True
@@ -744,7 +752,7 @@ class LongReadProcessor:
             final.append(last)
 
         # --- close gaps between neighbouring final intervals (3282-3302) --
-        final.sort(key=lambda iv: iv.on_read_start)
+        final = _std_sorted(final, lambda iv: iv.on_read_start)
         if final:
             last = final[0]
             for i in range(1, len(final)):
@@ -758,7 +766,8 @@ class LongReadProcessor:
                     last = cur
 
         # --- coverage check (3311-3338) ------------------------------------
-        final.sort(key=lambda iv: -iv.score)
+        final = _std_sorted(final, lambda iv: iv.score, desc=True,
+                            dtype=np.float32)
         read_bp_covered = sum(iv.length_on_read() for iv in final)
         aligned = read_bp_covered * 1.0 / read.length
         mapped = (aligned > cfg.min_residues if cfg.min_residues < 1.0

@@ -91,7 +91,9 @@ def score_read_batch(ref: ReferenceGenome, cfg: Config,
                 continue
             svals = np.asarray([score_map[(ri, j)][k] for k in range(n)],
                                dtype=np.float32)
-            order = np.argsort(-svals, kind="stable")
+            # std::sort desc incl. introsort tie order (ScoreBuffer.cpp:173)
+            from ..native import std_sort_perm
+            order = std_sort_perm(svals, desc=True)
             svals = svals[order]
             locs = cand.locations[order]
             revs = cand.reverse[order]

@@ -32,7 +32,8 @@ def process_short_read(ref: ReferenceGenome, cfg: Config, read: Read,
 
     # -- dedup by location (ScoreBuffer.cpp:225-239): the unsigned
     # subtraction keeps everything except exact duplicate locations
-    order = np.argsort(cand.locations, kind="stable")
+    from ..native import std_sort_perm
+    order = std_sort_perm(cand.locations.astype(np.int64))
     locs = cand.locations[order]
     revs = cand.reverse[order]
     keep = np.ones(len(locs), dtype=bool)
@@ -55,7 +56,7 @@ def process_short_read(ref: ReferenceGenome, cfg: Config, read: Read,
     LongReadProcessor._score_wave(problems)
     scores = np.asarray([p.result for p in problems], dtype=np.float32)
 
-    sorder = np.argsort(-scores, kind="stable")
+    sorder = std_sort_perm(scores.astype(np.float32), desc=True)
     locs, revs, scores = locs[sorder], revs[sorder], scores[sorder]
     read_mq = compute_mq(float(scores[0]), float(scores[1]) if len(scores) > 1 else None)
 
