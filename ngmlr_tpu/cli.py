@@ -123,7 +123,7 @@ def main(argv=None):
     if args.subread_aligner not in (0, 1, 2, 3):
         sys.stderr.write(f"Invalid subread aligner: {args.subread_aligner}\n")
         return 1
-    if args.stdout != 0:
+    if args.stdout in (3, 4, 6, 7):
         sys.stderr.write(
             f"stdout debug mode {args.stdout} is not implemented yet\n")
     shard, n_shards = 0, 1
@@ -134,7 +134,13 @@ def main(argv=None):
             return 1
     cfg = config_from_args(args, argv)
     pipeline = Pipeline(cfg, args.reference, use_cache=not args.skip_write)
-    out = open(args.output, "wb") if args.output else sys.stdout.buffer
+    if args.output and args.output.endswith(".gz"):
+        import gzip
+        out = gzip.open(args.output, "wb")   # the reference's GZFileWriter
+    elif args.output:
+        out = open(args.output, "wb")
+    else:
+        out = sys.stdout.buffer
     try:
         stats = pipeline.run(args.query, out,
                              progress=args.progress and not args.no_progress,

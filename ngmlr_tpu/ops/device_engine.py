@@ -176,6 +176,16 @@ class DeviceContext:
                       "align_s": 0.0, "align_waves": 0, "align_problems": 0,
                       "upload_s": 0.0, "cells": 0}
 
+    def _params_vec(self, params: Tuple[float, ...]):
+        """Device-cached score-parameter vector (uploads once per value)."""
+        cache = getattr(self, "_pvec_cache", None)
+        if cache is None:
+            cache = self._pvec_cache = {}
+        if params not in cache:
+            cache[params] = jax.device_put(
+                np.asarray(params, dtype=np.float32))
+        return cache[params]
+
     def upload_reads(self, read_codes: np.ndarray):
         """Upload the concatenated code buffer of the current read batch."""
         import time
@@ -213,15 +223,18 @@ class DeviceContext:
         pending = []
         for (Rp, Qp), idxs in buckets.items():
             P = _pow2(len(idxs), 8)
-            pu = np.zeros((P, 2), dtype=np.uint32)   # ds, hi
-            pi = np.zeros((P, 5), dtype=np.int32)    # diff, W, qstart, qlen, qrev
+            # ONE packed upload per bucket — each host->device transfer costs
+            # ~17 ms latency on the tunnel
+            pk = np.zeros((P, 7), dtype=np.int32)
+            pku = pk.view(np.uint32)
             for bi, i in enumerate(idxs):
                 p = problems[i]
-                pu[bi] = (p.ref.ds, p.ref.hi)
-                pi[bi] = (p.ref.diff, p.ref.W,
-                          p.qry.start, p.qry.length, 1 if p.qry.rev else 0)
-            scores = _score_kernel(self.genome, self.readbuf, jnp.asarray(pu),
-                                   jnp.asarray(pi), Rp=Rp, Qp=Qp, impl=s_impl)
+                pku[bi, 0] = p.ref.ds
+                pku[bi, 1] = p.ref.hi
+                pk[bi, 2:7] = (p.ref.diff, p.ref.W,
+                               p.qry.start, p.qry.length, 1 if p.qry.rev else 0)
+            scores = _score_kernel(self.genome, self.readbuf,
+                                   jnp.asarray(pk), Rp=Rp, Qp=Qp, impl=s_impl)
             pending.append((idxs, scores))
             self.stats["score_waves"] += 1
             self.stats["cells"] += len(idxs) * Rp * Qp
@@ -276,28 +289,31 @@ class DeviceContext:
             w = p.width + 3
             L = (w + 127) // 128 * 128 if w <= 1024 else _size_class(w, 1024)
             buckets.setdefault((Wp, Hp, L), []).append(i)
-        pvec = jnp.asarray(params, dtype=jnp.float32)
+        pvec = self._params_vec(tuple(params))
         pending = []
         for (Wp, Hp, L), idxs in buckets.items():
             impl, K, BT = self._convex_impl(Wp, Hp, L, len(idxs))
             B = (len(idxs) + BT - 1) // BT * BT
             B = max(B, 8)
-            pu = np.zeros((B, 2), dtype=np.uint32)   # ds, hi
-            pi = np.zeros((B, 8), dtype=np.int32)
-            pf = np.zeros((B, 2), dtype=np.float32)
-            pi[:, 7] = 1  # empty slots: width 1, zero-length → inert
-            pf[:, 0] = 1.0
+            # ONE packed upload per bucket (~17 ms latency per transfer):
+            # cols 0-1 ds/hi (u32 bits), 2-9 ints, 10-11 corridor f32 bits
+            pk = np.zeros((B, 12), dtype=np.int32)
+            pku = pk.view(np.uint32)
+            pkf = pk.view(np.float32)
+            pk[:, 9] = 1   # empty slots: width 1, zero-length → inert
+            pkf[:, 10] = 1.0
             for bi, i in enumerate(idxs):
                 p = problems[i]
-                pu[bi] = (p.ref.ds, p.ref.hi)
-                pi[bi] = (p.ref.diff, p.ref.W,
-                          p.qry.start, p.qry.length, 1 if p.qry.rev else 0,
-                          p.corridor_mode, p.corridor_i, p.width)
-                pf[bi] = p.corridor_f
+                pku[bi, 0] = p.ref.ds
+                pku[bi, 1] = p.ref.hi
+                pk[bi, 2:10] = (p.ref.diff, p.ref.W,
+                                p.qry.start, p.qry.length,
+                                1 if p.qry.rev else 0,
+                                p.corridor_mode, p.corridor_i, p.width)
+                pkf[bi, 10:12] = p.corridor_f
             packed_ops_dev, scalars_dev = _convex_kernel(
-                self.genome, self.readbuf, jnp.asarray(pu), jnp.asarray(pi),
-                jnp.asarray(pf), pvec, Wp=Wp, Hp=Hp, L=L, impl=impl, K=K,
-                BT=BT)
+                self.genome, self.readbuf, jnp.asarray(pk), pvec,
+                Wp=Wp, Hp=Hp, L=L, impl=impl, K=K, BT=BT)
             # transfer only the op range actually used
             t_max = max(problems[i].T for i in idxs)
             n4 = min(packed_ops_dev.shape[1],
@@ -355,11 +371,13 @@ def _gather_qry(readbuf, start, length, rev, Qp):
 
 
 @functools.partial(jax.jit, static_argnames=("Rp", "Qp", "impl"))
-def _score_kernel(genome, readbuf, pu, pi, Rp: int, Qp: int,
+def _score_kernel(genome, readbuf, pk, Rp: int, Qp: int,
                   impl: str = "scan"):
     """Batched ungapped local-segment scores (see ngmlr_tpu.ops.ungapped for
-    the semantics proof vs the vendored ssw). pu: uint32 [P, 2] = (ds, hi);
-    pi: int32 [P, 5] = (diff, W, qstart, qlen, qrev). Returns f32 [P]."""
+    the semantics proof vs the vendored ssw). pk: int32 [P, 7] = (ds u32,
+    hi u32, diff, W, qstart, qlen, qrev). Returns f32 [P]."""
+    pu = jax.lax.bitcast_convert_type(pk[:, 0:2], jnp.uint32)
+    pi = pk[:, 2:7]
     ref = _gather_ref(genome, pu[:, 0], pi[:, 0], pu[:, 1], pi[:, 1], Rp)
     qry = _gather_qry(readbuf, pi[:, 2], pi[:, 3], pi[:, 4], Qp)
     if impl == "pallas":
@@ -415,19 +433,22 @@ def _shift_up(a):   # out[l] = a[l-1]
 
 @functools.partial(jax.jit,
                    static_argnames=("Wp", "Hp", "L", "impl", "K", "BT"))
-def _convex_kernel(genome, readbuf, pu, pi, pf, params, Wp: int, Hp: int,
+def _convex_kernel(genome, readbuf, pk, params, Wp: int, Hp: int,
                    L: int, impl: str = "scan", K: int = 256, BT: int = 8):
     """Fused banded convex-gap fill + on-device backtrack.
 
-    pu: uint32 [B, 2] = (ds, hi);
-    pi: int32 [B, 8] = (diff, W, qstart, qlen, qrev, cmode, ci, width);
-    pf: f32 [B, 2] corridor floats; params: f32 [6] score params.
+    pk: int32 [B, 12] packed per-problem params — (ds u32, hi u32, diff, W,
+    qstart, qlen, qrev, cmode, ci, width, k f32, d f32); params: f32 [6]
+    score params.
     impl: "scan" (pure-XLA reference formulation, works everywhere) or
     "pallas" (TPU Mosaic kernels, ~100x less per-wavefront overhead).
 
     Returns (packed_ops uint8 [B, ceil(Tp'/4)], scalars int32 [B, 6] =
     (score bits, best_x, best_y, stop_x, stop_y, ok)).
     """
+    pu = jax.lax.bitcast_convert_type(pk[:, 0:2], jnp.uint32)
+    pi = pk[:, 2:10]
+    pf = jax.lax.bitcast_convert_type(pk[:, 10:12], jnp.float32)
     B = pi.shape[0]
     Tp = Wp + Hp
     mat, mis, go, ge, gemin, gdecay = [params[i] for i in range(6)]

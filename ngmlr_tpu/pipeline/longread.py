@@ -35,6 +35,20 @@ f32 = np.float32
 SV_NONE, SV_INVERSION, SV_TRANSLOCATION, SV_UNKNOWN = 0, 1, 2, 3
 
 
+# stdout debug dump machinery (AlignmentBuffer.h:91-103, printDotPlotLine
+# AlignmentBuffer.cpp:467-476; R visualization per the reference README)
+DP_TYPE_UNFILTERED, DP_TYPE_CLIS = 0, 1
+DP_TYPE_SEQMENTS, DP_TYPE_SEQMENTS_CONS, DP_TYPE_RESULT = 200, 400, 600
+DP_STATUS_OK, DP_STATUS_NOHIT = 0, 2
+
+
+def _dot_plot_line(read, a, b, c, d, score, rev, type_, status):
+    import sys as _sys
+    _sys.stdout.write("%d\t%s\t%d\t%d\t%d\t%d\t%f\t%d\t%d\t%d\n" % (
+        read.read_id, read.name.decode(), a, b, c, d, score,
+        1 if rev else 0, type_, status))
+
+
 def _std_sorted(items, key, desc=False, dtype=np.int64):
     """std::sort order incl. the reference's introsort tie behavior for
     ranges > 16 (AlignmentBuffer.cpp:3035/3135/3279/3312)."""
@@ -641,9 +655,14 @@ class LongReadProcessor:
 
         tree: List[Tuple[int, int, int]] = []
         anchors: List[Anchor] = []
+        dump = cfg.stdout_mode == 1
         for sub in subreads:
             n = len(sub.scores)
             if n >= max_num_scores or n == 0:
+                if dump:
+                    _dot_plot_line(read, sub.on_read, sub.on_read + rpl,
+                                   0, 0, 0.0, 0, DP_TYPE_UNFILTERED,
+                                   DP_STATUS_NOHIT)
                 continue
             tree.append((sub.on_read, sub.on_read + rpl, sub.mq))
             unique = n == 1
@@ -651,6 +670,16 @@ class LongReadProcessor:
                 anchors.append(Anchor(sub.on_read, int(sub.locations[k]),
                                       float(sub.scores[k]), bool(sub.reverse[k]),
                                       unique))
+                if dump:   # AlignmentBuffer.cpp:2975-2990
+                    loc = int(sub.locations[k])
+                    if sub.reverse[k]:
+                        _dot_plot_line(read, sub.on_read, sub.on_read + rpl,
+                                       loc + rpl, loc, float(sub.scores[k]),
+                                       1, DP_TYPE_UNFILTERED, DP_STATUS_OK)
+                    else:
+                        _dot_plot_line(read, sub.on_read, sub.on_read + rpl,
+                                       loc, loc + rpl, float(sub.scores[k]),
+                                       0, DP_TYPE_UNFILTERED, DP_STATUS_OK)
 
         max_segment_count = max(10, cfg.max_segments_for(read.length) * 2)
         intervals = get_intervals_from_anchors(anchors, read.length,
@@ -768,6 +797,12 @@ class LongReadProcessor:
         # --- coverage check (3311-3338) ------------------------------------
         final = _std_sorted(final, lambda iv: iv.score, desc=True,
                             dtype=np.float32)
+        if dump:   # "Final intervals" (AlignmentBuffer.cpp:3318)
+            for i, iv in enumerate(final):
+                _dot_plot_line(read, iv.on_read_start, iv.on_read_stop,
+                               iv.on_ref_start, iv.on_ref_stop, iv.score,
+                               iv.is_reverse, DP_TYPE_SEQMENTS_CONS + i,
+                               DP_STATUS_OK)
         read_bp_covered = sum(iv.length_on_read() for iv in final)
         aligned = read_bp_covered * 1.0 / read.length
         mapped = (aligned > cfg.min_residues if cfg.min_residues < 1.0
@@ -810,6 +845,23 @@ class LongReadProcessor:
             seg = _interval_from_align(rec.align, rec.location, rec.reverse, i,
                                        read.length)
             segs.append(seg)
+            if cfg.stdout_mode == 5:   # mapped segments (AlignmentBuffer.cpp:2133)
+                import sys as _sys
+                _sys.stdout.write("%s\t%d\t%d\t%d\t%d\t%d\t%d\t%f\n" % (
+                    read.name.decode(), i, read.length, seg.on_read_start,
+                    seg.on_read_stop, 1 if rec.reverse else 0,
+                    rec.align.mq, rec.align.score))
+            if cfg.stdout_mode == 1:   # results (AlignmentBuffer.cpp:2155-2170)
+                if not rec.reverse:
+                    _dot_plot_line(read, seg.on_read_start, seg.on_read_stop,
+                                   seg.on_ref_start, seg.on_ref_stop,
+                                   seg.score, seg.is_reverse,
+                                   DP_TYPE_RESULT + i, DP_STATUS_OK)
+                else:
+                    _dot_plot_line(read, seg.on_read_stop, seg.on_read_start,
+                                   seg.on_ref_start, seg.on_ref_stop,
+                                   seg.score, seg.is_reverse,
+                                   DP_TYPE_RESULT + i, DP_STATUS_OK)
 
         best_segments: List[int] = []
         _best_segment_combination(read.length, segs, best_segments)
