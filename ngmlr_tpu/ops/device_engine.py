@@ -187,7 +187,9 @@ class DeviceContext:
         return cache[params]
 
     def upload_reads(self, read_codes: np.ndarray):
-        """Upload the concatenated code buffer of the current read batch."""
+        """Upload a concatenated read-batch code buffer; returns the device
+        array (also set as the context default). Batches can be in flight
+        concurrently — each wave binds the buffer it was built against."""
         import time
         t0 = time.perf_counter()
         # pad so clipped gathers never read past the end
@@ -197,14 +199,17 @@ class DeviceContext:
         self.readbuf = jax.device_put(buf)
         self.readbuf_len = len(read_codes)
         self.stats["upload_s"] += time.perf_counter() - t0
+        return self.readbuf
 
     # -- scoring -----------------------------------------------------------
 
-    def score_wave(self, problems: Sequence[ScoreProblem]) -> None:
+    def score_wave(self, problems: Sequence[ScoreProblem],
+                   readbuf=None) -> None:
         """Fill .result of every problem (ungapped local segment score,
         StrippedSW semantics — see ngmlr_tpu.ops.ungapped)."""
         if not problems:
             return
+        readbuf = self.readbuf if readbuf is None else readbuf
         import time
         t0 = time.perf_counter()
         buckets = {}
@@ -233,7 +238,7 @@ class DeviceContext:
                 pku[bi, 1] = p.ref.hi
                 pk[bi, 2:7] = (p.ref.diff, p.ref.W,
                                p.qry.start, p.qry.length, 1 if p.qry.rev else 0)
-            scores = _score_kernel(self.genome, self.readbuf,
+            scores = _score_kernel(self.genome, readbuf,
                                    jnp.asarray(pk), Rp=Rp, Qp=Qp, impl=s_impl)
             pending.append((idxs, scores))
             self.stats["score_waves"] += 1
@@ -276,9 +281,10 @@ class DeviceContext:
     # -- banded convex alignment --------------------------------------------
 
     def align_wave(self, problems: Sequence[AlignProblem],
-                   params: Tuple[float, ...]) -> None:
+                   params: Tuple[float, ...], readbuf=None) -> None:
         if not problems:
             return
+        readbuf = self.readbuf if readbuf is None else readbuf
         import time
         t0 = time.perf_counter()
         buckets = {}
@@ -312,7 +318,7 @@ class DeviceContext:
                                 p.corridor_mode, p.corridor_i, p.width)
                 pkf[bi, 10:12] = p.corridor_f
             packed_ops_dev, scalars_dev = _convex_kernel(
-                self.genome, self.readbuf, jnp.asarray(pk), pvec,
+                self.genome, readbuf, jnp.asarray(pk), pvec,
                 Wp=Wp, Hp=Hp, L=L, impl=impl, K=K, BT=BT)
             # transfer only the op range actually used
             t_max = max(problems[i].T for i in idxs)

@@ -29,8 +29,10 @@ class WaveBatcher:
     # the pool should cover a whole intake batch: a smaller pool refills
     # mid-stream and every refill's first requests form their own tiny
     # wave; far more threads than that just thrash the GIL on a 1-core host
-    def __init__(self, ctx: DeviceContext, max_workers: int = 256):
+    def __init__(self, ctx: DeviceContext, readbuf=None,
+                 max_workers: int = 256):
         self.ctx = ctx
+        self.readbuf = readbuf
         self.max_workers = max_workers
         self._lock = threading.Condition()
         self._pending_align: List = []    # (problem, params, event)
@@ -143,12 +145,13 @@ class WaveBatcher:
         for problem, params, ev in aligns:
             by_params.setdefault(params, []).append((problem, ev))
         for params, items in by_params.items():
-            self.ctx.align_wave([p for p, _ in items], params)
+            self.ctx.align_wave([p for p, _ in items], params,
+                                readbuf=self.readbuf)
             for _, ev in items:
                 ev.set()
         if scores:
             flat = [p for probs, _ in scores for p in probs]
-            self.ctx.score_wave(flat)
+            self.ctx.score_wave(flat, readbuf=self.readbuf)
             for _, ev in scores:
                 ev.set()
 

@@ -53,33 +53,34 @@ class Pipeline:
         self.acfg = self.processor.acfg
         self.stats = {"reads": 0, "mapped": 0, "unmapped": 0}
 
-    def _upload_batch(self, batch: List[Read]):
-        """Concatenate the batch's read codes and upload them once; every
-        query in the pipeline becomes a (offset, len, rev) view of this."""
-        total = sum(len(r.seq) for r in batch if not r.empty)
-        buf = np.empty(total, dtype=np.uint8)
-        off = 0
-        for r in batch:
-            if r.empty:
-                continue
-            n = len(r.seq)
-            buf[off:off + n] = _CHAR2CODE[np.frombuffer(r.seq, dtype=np.uint8)]
-            r.buf_offset = off
-            off += n
-        self.ctx.upload_reads(buf)
-
     def run(self, query_path: str, out: IO[bytes], progress: bool = False,
             shard: int = 0, n_shards: int = 1):
+        """Pipelined intake: batch N+1's candidate search + subread scoring
+        (host numpy + device score wave) runs in a background thread while
+        batch N's alignment waves execute — both sides spend most time
+        blocked in device fetches, which release the GIL."""
+        from concurrent.futures import ThreadPoolExecutor
         writer = SamWriter(self.ref, self.cfg, out)
         writer.write_prolog()
         t0 = time.time()
         self._read_bp = 0
-        for batch in read_batches(query_path, self.cfg.batch_reads,
-                                  shard=shard, n_shards=n_shards):
-            self._read_bp += sum(len(r.seq) for r in batch if not r.empty)
-            self._run_batch(batch, writer)
-            if progress:
-                self._progress_line(t0)
+        batches = read_batches(query_path, self.cfg.batch_reads,
+                               shard=shard, n_shards=n_shards)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = None
+            nxt = next(batches, None)
+            while nxt is not None:
+                cur_prep = (fut.result() if fut is not None
+                            else self._prepare_batch(nxt))
+                cur_batch = nxt
+                nxt = next(batches, None)
+                fut = (pool.submit(self._prepare_batch, nxt)
+                       if nxt is not None else None)
+                self._read_bp += sum(len(r.seq) for r in cur_batch
+                                     if not r.empty)
+                self._run_waves(cur_batch, cur_prep, writer)
+                if progress:
+                    self._progress_line(t0)
         return self.stats
 
     def _progress_line(self, t0: float):
@@ -102,10 +103,24 @@ class Pipeline:
 
     # ------------------------------------------------------------------
 
-    def _run_batch(self, batch: List[Read], writer: SamWriter):
+    def _prepare_batch(self, batch: List[Read]):
+        """Stage 1 of a batch: read-code upload, candidate search, batched
+        subread scoring. Runs in a background thread for batch N+1 while
+        batch N's alignment waves execute."""
         cfg = self.cfg
         rpl = cfg.read_part_length
-        self._upload_batch(batch)
+
+        total = sum(len(r.seq) for r in batch if not r.empty)
+        buf = np.empty(total, dtype=np.uint8)
+        off = 0
+        for r in batch:
+            if r.empty:
+                continue
+            n = len(r.seq)
+            buf[off:off + n] = _CHAR2CODE[np.frombuffer(r.seq, dtype=np.uint8)]
+            r.buf_offset = off
+            off += n
+        readbuf = self.ctx.upload_reads(buf)
 
         # --- candidate search for every subread / short read at once ------
         seqs: List[bytes] = []
@@ -138,10 +153,16 @@ class Pipeline:
         cand_lists = [[per_read_long[ri][j]
                        for j in range(batch[ri].subread_count(rpl))]
                       for ri in long_ris]
-        scored = score_read_batch(self.ref, cfg, long_reads, cand_lists)
+        scored = score_read_batch(self.ref, cfg, long_reads, cand_lists,
+                                  readbuf=readbuf)
         scored_by_ri = dict(zip(long_ris, scored))
+        return readbuf, per_read_short, scored_by_ri
 
-        # --- process all reads with wave-batched alignments ---------------
+    def _run_waves(self, batch: List[Read], prep, writer: SamWriter):
+        """Stage 2 of a batch: per-read jobs with wave-batched alignments,
+        then SAM emission in the reference's order."""
+        cfg = self.cfg
+        readbuf, per_read_short, scored_by_ri = prep
         from . import batcher as _batcher
 
         def make_short_job(read, cand):
@@ -164,7 +185,7 @@ class Pipeline:
                 job_key[ri] = len(jobs)
                 jobs.append(make_long_job(read, scored_by_ri[ri]))
 
-        wb = _batcher.WaveBatcher(self.ctx)
+        wb = _batcher.WaveBatcher(self.ctx, readbuf=readbuf)
         _batcher.set_current(wb)
         try:
             outcomes = wb.map_jobs(jobs)

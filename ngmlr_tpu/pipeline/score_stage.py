@@ -41,8 +41,8 @@ def compute_mq(best: float, second: Optional[float]) -> int:
 
 def score_read_batch(ref: ReferenceGenome, cfg: Config,
                      reads: List[Read],
-                     candidates_per_read: List[List[SubreadCandidates]]
-                     ) -> List[List[ScoredSubread]]:
+                     candidates_per_read: List[List[SubreadCandidates]],
+                     readbuf=None) -> List[List[ScoredSubread]]:
     """Scores all subread candidates of a batch of long reads at once.
 
     candidates_per_read[i][j] = candidates of subread j of read i.
@@ -72,7 +72,7 @@ def score_read_batch(ref: ReferenceGenome, cfg: Config,
                 owners.append((ri, j, k))
 
     if problems:
-        device_engine.current().score_wave(problems)
+        device_engine.current().score_wave(problems, readbuf=readbuf)
 
     # scatter back
     score_map = {}
