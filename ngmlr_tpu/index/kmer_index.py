@@ -205,31 +205,43 @@ class KmerIndex:
         prefixes = np.concatenate(all_prefixes) if all_prefixes else np.zeros(0, np.int64)
         pos = np.concatenate(all_pos) if all_pos else np.zeros(0, np.int64)
 
-        # frequency cutoff over UNIQUE prefixes only — never materializes a
-        # 4^k-sized array for small genomes (the dense variant cost tens of
-        # seconds of page faults for a 2 Mbp genome)
-        uniq, inv, cnt = np.unique(prefixes, return_inverse=True,
-                                   return_counts=True)
-        rc_u = revcomp_prefix(uniq, k)
-        j = np.searchsorted(uniq, rc_u)
-        jc = np.clip(j, 0, max(0, len(uniq) - 1))
-        found = (j < len(uniq)) & (uniq[jc] == rc_u) if len(uniq) else np.zeros(0, bool)
-        rc_cnt = np.where(found, cnt[jc], 0)
-        total = cnt + rc_cnt
-        weight = ((max_prefix_freq - total) * 100.0 / max_prefix_freq).astype(np.int8)
-        used_u = (total < max_prefix_freq) & (weight != 0)
-        used_u &= uniq != (n_prefix - 1)  # poly-G never indexed (PrefixTable.cpp:289)
+        # frequency cutoff (PrefixTable.cpp:296-309), scale-adaptive:
+        #  * dense regime (human-scale genomes): full 4^k frequency table +
+        #    revcomp permutation table — linear passes,
+        #  * sparse regime (tiny genomes): unique-prefix arithmetic only,
+        #    never materializing a 4^k-sized array.
+        if len(prefixes) * 4 >= n_prefix:
+            freq = np.bincount(prefixes, minlength=n_prefix).astype(np.int32)
+            total = freq + freq[_revcomp_table(k)]
+            weight = ((max_prefix_freq - total) * 100.0
+                      / max_prefix_freq).astype(np.int8)
+            used_p = (total < max_prefix_freq) & (weight != 0)
+            used_p[n_prefix - 1] = False  # poly-G (PrefixTable.cpp:289)
+            keep = used_p[prefixes]
+            del freq, total, weight
+        else:
+            uniq, inv, cnt = np.unique(prefixes, return_inverse=True,
+                                       return_counts=True)
+            rc_u = revcomp_prefix(uniq, k)
+            j = np.searchsorted(uniq, rc_u)
+            jc = np.clip(j, 0, max(0, len(uniq) - 1))
+            found = ((j < len(uniq)) & (uniq[jc] == rc_u) if len(uniq)
+                     else np.zeros(0, bool))
+            rc_cnt = np.where(found, cnt[jc], 0)
+            total = cnt + rc_cnt
+            weight = ((max_prefix_freq - total) * 100.0
+                      / max_prefix_freq).astype(np.int8)
+            used_u = (total < max_prefix_freq) & (weight != 0)
+            used_u &= uniq != (n_prefix - 1)  # poly-G (PrefixTable.cpp:289)
+            keep = used_u[inv]
 
-        keep = used_u[inv]
         prefixes = prefixes[keep]
         pos = pos[keep]
         order = np.argsort(prefixes, kind="stable")  # scan order within bucket
         sorted_prefix = prefixes[order]
         positions = pos[order]
 
-        kept_uniq = uniq[used_u]
-        u = len(kept_uniq)
-        if u * 128 >= n_prefix:
+        if len(sorted_prefix) * 128 >= n_prefix:
             # dense representation: O(1) bucket lookup (int32 — position
             # counts are < 2^31 per the uint32 device position space)
             bucket_start = np.zeros(n_prefix + 1, dtype=np.int32)
@@ -237,6 +249,8 @@ class KmerIndex:
             np.cumsum(counts, dtype=np.int32, out=bucket_start[1:])
             return cls(k, bucket_start, positions, bin_size, kmer_skip)
         # sparse representation: searchsorted over the unique prefix list
+        kept_uniq = np.unique(sorted_prefix)
+        u = len(kept_uniq)
         bucket_start = np.zeros(u + 1, dtype=np.int64)
         bucket_start[1:] = np.searchsorted(sorted_prefix, kept_uniq,
                                            side="right")
