@@ -72,3 +72,54 @@ def test_shard_merge_matches_full_run(tmp_path):
                 if not l.startswith(b"@PG")]
 
     assert body(tmp_path / "full.sam") == body(tmp_path / "merged.sam")
+
+
+def test_long_read_with_sv(tmp_path):
+    """A 30 kb read spanning a 2 kb deletion and an inverted segment maps
+    with consistent CIGARs (sum of M/I/S == read length — the reference's
+    own validity invariant, ConvexAlignFast.cpp:424-428)."""
+    import re
+    import numpy as np
+    import subprocess, sys, os
+    rng = np.random.default_rng(99)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = rng.choice(bases, size=120_000).tobytes()
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+
+    # read: [10k..20k] + (deletion of 2k) + [22k..30k] + inverted [30k..33k]
+    part1 = genome[10_000:20_000]
+    part2 = genome[22_000:30_000]
+    part3 = genome[30_000:33_000].translate(comp)[::-1]
+    read = part1 + part2 + part3
+
+    ref_p = tmp_path / "ref.fa"
+    with open(ref_p, "wb") as f:
+        f.write(b">chrL\n")
+        for i in range(0, len(genome), 80):
+            f.write(genome[i:i + 80] + b"\n")
+    q_p = tmp_path / "r.fa"
+    with open(q_p, "wb") as f:
+        f.write(b">longsv\n")
+        for i in range(0, len(read), 80):
+            f.write(read[i:i + 80] + b"\n")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-m", "ngmlr_tpu.cli", "-r", str(ref_p),
+         "-q", str(q_p)],
+        check=True, cwd=repo, capture_output=True,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"))
+    records = [l.split("\t") for l in out.stdout.decode().splitlines()
+               if not l.startswith("@")]
+    assert records, "read did not map"
+    mapped = [r for r in records if not (int(r[1]) & 0x4)]
+    assert mapped, "no mapped records"
+    for r in mapped:
+        consumed = sum(int(n) for n, op in
+                       re.findall(r"(\d+)([MIS=X])", r[5]))
+        assert consumed == len(read), r[5][:80]
+    # at least one reverse-strand record for the inverted tail
+    assert any(int(r[1]) & 0x10 for r in mapped)
+    # primary covers the bulk of the read
+    primaries = [r for r in mapped if not (int(r[1]) & 0x800)]
+    assert len(primaries) == 1
