@@ -268,13 +268,14 @@ class DeviceContext:
             return "scan", 256, 8
         # K is the lane dim of the per-wavefront scalar blocks -> >= 128
         K = 128 if L > 256 else 256
-        for BT in (16, 8):
+        for BT in (32, 16, 8):
             if n_problems <= BT // 2 and BT > 8:
                 continue
-            vmem = (BT * 4 * (Wp + Hp + 8 * L)   # i32 sequence rows (x2 seq)
+            vmem = (BT * 4 * (Hp + 2 * L)        # i32 query rows
                     + BT * K * L * 4              # dirs accumulator
-                    + 3 * BT * K * L)             # dirs in/out blocks (u8)
-            if vmem <= 10 * 1024 * 1024:
+                    + 3 * BT * K * L              # dirs in/out blocks (u8)
+                    + 9 * BT * L * 4)             # carry/scratch planes
+            if vmem <= 11 * 1024 * 1024:
                 return "pallas", K, BT
         return "scan", 256, 8
 

@@ -68,7 +68,12 @@ def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
     ge = params_ref[0, 3]
     gemin = params_ref[0, 4]
     gdecay = params_ref[0, 5]
-    lanes = _iota((BT, L), 1)
+    # NS independent 8-problem sub-tiles advance together in each loop
+    # iteration: the DP recurrence is a ~25-op dependency chain, so a single
+    # tile is LATENCY-bound on the VPU — interleaving independent chains
+    # hides it (measured ~NS-fold throughput up to NS=4)
+    NS = BT // 8
+    lanes = _iota((8, L), 1)
     BIG = jnp.int32(2 ** 30)
 
     @pl.when(tb == 0)
@@ -92,16 +97,17 @@ def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
         r = pltpu.roll(a, 1, 1)
         return jnp.where(lanes == 0, jnp.zeros_like(a), r)
 
-    def step(j, u, ext, dirs_rows, carry):
+    def step(j, u, sub, ext, dirs_rows, carry):
         s1, p1d, r1, s2, rc, qc, best, by, bx = carry
         t = tb * K + j
-        # ext: [6*BT, 8] transposed per-wavefront scalars for this group
-        ym = ext[0 * BT:1 * BT, u:u + 1]
-        yx = ext[1 * BT:2 * BT, u:u + 1]
-        dl1 = ext[2 * BT:3 * BT, u:u + 1]
-        dl2 = ext[3 * BT:4 * BT, u:u + 1]
-        rcpatch = ext[4 * BT:5 * BT, u:u + 1]
-        qcpatch = ext[5 * BT:6 * BT, u:u + 1]
+        o = sub * 8
+        # ext: [6*BT(+pad), 8] transposed per-wavefront scalars, this group
+        ym = ext[0 * BT + o:0 * BT + o + 8, u:u + 1]
+        yx = ext[1 * BT + o:1 * BT + o + 8, u:u + 1]
+        dl1 = ext[2 * BT + o:2 * BT + o + 8, u:u + 1]
+        dl2 = ext[3 * BT + o:3 * BT + o + 8, u:u + 1]
+        rcpatch = ext[4 * BT + o:4 * BT + o + 8, u:u + 1]
+        qcpatch = ext[5 * BT + o:5 * BT + o + 8, u:u + 1]
 
         # incremental sequence windows (see module docstring)
         d1_is1 = dl1 == 1
@@ -156,7 +162,7 @@ def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
         new_d = jnp.where(valid, new_d, 0).astype(jnp.int32)
         new_r = jnp.where(valid, new_r, 0).astype(jnp.int32)
 
-        dirs_rows[u] = new_d
+        dirs_rows[sub][u] = new_d
 
         # per-lane running lex-max (score desc, y asc, x asc); the strict >
         # keeps the row-major-first cell within a lane (y grows with t on a
@@ -173,25 +179,39 @@ def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
     # grouped loop: 8 wavefronts per iteration so the scalar loads and the
     # direction-row store land at provably 8-aligned sublane offsets
     # (Mosaic requirement); the [8, 6*BT] scalar tile is transposed once per
-    # group so each step reads a static column
+    # group so each step reads a static column. Sub-tiles interleave inside
+    # each wavefront iteration (see NS above).
     def group(g, carry):
         base = pl.multiple_of(g * 8, 8)
         ext = scal_ref[pl.ds(base, 8), :].T           # [sw, 8] i32
-        dirs_rows = [None] * 8
+        dirs_rows = [[None] * 8 for _ in range(NS)]
         for u in range(8):
-            carry = step(g * 8 + u, u, ext, dirs_rows, carry)
-        dirs_acc[:, pl.ds(base, 8), :] = jnp.stack(dirs_rows, axis=1)
+            carry = tuple(
+                step(g * 8 + u, u, s, ext, dirs_rows, carry[s])
+                for s in range(NS))
+        for s in range(NS):
+            dirs_acc[s * 8:(s + 1) * 8, pl.ds(base, 8), :] = \
+                jnp.stack(dirs_rows[s], axis=1)
         return carry
 
     is_active = active_ref[pl.program_id(0), tb] != 0
 
     @pl.when(is_active)
     def _():
-        init = (s1_ref[:], p1d_ref[:], r1_ref[:], s2_ref[:], rc_ref[:],
-                qc_ref[:], bb_ref[:], bby_ref[:], bbx_ref[:])
+        init = tuple(
+            (s1_ref[s * 8:(s + 1) * 8, :], p1d_ref[s * 8:(s + 1) * 8, :],
+             r1_ref[s * 8:(s + 1) * 8, :], s2_ref[s * 8:(s + 1) * 8, :],
+             rc_ref[s * 8:(s + 1) * 8, :], qc_ref[s * 8:(s + 1) * 8, :],
+             bb_ref[s * 8:(s + 1) * 8, :], bby_ref[s * 8:(s + 1) * 8, :],
+             bbx_ref[s * 8:(s + 1) * 8, :])
+            for s in range(NS))
         out = jax.lax.fori_loop(0, K // 8, group, init)
-        (s1_ref[:], p1d_ref[:], r1_ref[:], s2_ref[:], rc_ref[:], qc_ref[:],
-         bb_ref[:], bby_ref[:], bbx_ref[:]) = out
+        for s in range(NS):
+            (s1_ref[s * 8:(s + 1) * 8, :], p1d_ref[s * 8:(s + 1) * 8, :],
+             r1_ref[s * 8:(s + 1) * 8, :], s2_ref[s * 8:(s + 1) * 8, :],
+             rc_ref[s * 8:(s + 1) * 8, :], qc_ref[s * 8:(s + 1) * 8, :],
+             bb_ref[s * 8:(s + 1) * 8, :], bby_ref[s * 8:(s + 1) * 8, :],
+             bbx_ref[s * 8:(s + 1) * 8, :]) = out[s]
         dirs_ref[:] = dirs_acc[:].astype(jnp.uint8)
 
     @pl.when(jnp.logical_not(is_active))
@@ -296,8 +316,9 @@ def _bt_kernel(dirs_ref, ymin_ref, bx_ref, by_ref, mode_ref, ci_ref,
                ops_ref, sx_ref, sy_ref, st_ref,
                x_s, y_s, state_s, stx_s, sty_s, *, L, nT, K, BT):
     tb = pl.program_id(1)          # 0 = highest wavefront block
-    lanes = _iota((BT, L), 1)
-    cols = _iota((BT, K), 1)
+    NS = BT // 8                   # independent sub-tiles (latency hiding)
+    lanes = _iota((8, L), 1)
+    cols = _iota((8, K), 1)
 
     @pl.when(tb == 0)
     def _():
@@ -308,14 +329,13 @@ def _bt_kernel(dirs_ref, ymin_ref, bx_ref, by_ref, mode_ref, ci_ref,
         sty_s[:] = jnp.full((BT, 1), -1, jnp.int32)
 
     blk = nT - 1 - tb              # actual wavefront block index
-    mode = mode_ref[:]
-    ci = ci_ref[:]
-    width_f = width_ref[:].astype(jnp.float32)
-    k_f = cf_ref[:, 0:1]
-    d_f = cf_ref[:, 1:2]
-    ym_all = ymin_ref[:]
 
-    def offs_at(yv):
+    def offs_at(yv, sub):
+        sl = slice(sub * 8, sub * 8 + 8)
+        mode = mode_ref[sl, :]
+        ci = ci_ref[sl, :]
+        k_f = cf_ref[sl, 0:1]
+        d_f = cf_ref[sl, 1:2]
         yf = yv.astype(jnp.float32)
         full = ci.astype(jnp.float32)
         linear = (yv - ci).astype(jnp.float32)
@@ -326,11 +346,14 @@ def _bt_kernel(dirs_ref, ymin_ref, bx_ref, by_ref, mode_ref, ci_ref,
                                    jnp.where(mode == CORRIDOR_ENDPOINTS,
                                              endpoints, anchors)))
 
-    def step(jj, dirs_row, carry):
+    def step(jj, sub, dirs_row, carry):
         x, y, state, sx, sy, ops = carry
+        sl = slice(sub * 8, sub * 8 + 8)
+        width_f = width_ref[sl, :].astype(jnp.float32)
         t = blk * K + jj
         oh = cols == jj
-        ym = jnp.sum(jnp.where(oh, ym_all, 0), axis=1, keepdims=True)
+        ym = jnp.sum(jnp.where(oh, ymin_ref[sl, :], 0), axis=1,
+                     keepdims=True)
         here = (state == WALK) & ((x + y) == t)
         lane = y - ym
         d = jnp.max(jnp.where((lanes == lane) & here, dirs_row, 0),
@@ -338,7 +361,7 @@ def _bt_kernel(dirs_ref, ymin_ref, bx_ref, by_ref, mode_ref, ci_ref,
 
         stop_now = here & (d == STOP)
         # validPath (AlignmentMatrixFast.cpp:213-220), f32 truncation kept
-        o = offs_at(y)
+        o = offs_at(y, sub)
         min_c = jnp.trunc(o + jnp.float32(0.1) * width_f).astype(jnp.int32)
         max_c = jnp.trunc(min_c.astype(jnp.float32) + width_f
                           - jnp.float32(0.1) * width_f).astype(jnp.int32)
@@ -358,13 +381,17 @@ def _bt_kernel(dirs_ref, ymin_ref, bx_ref, by_ref, mode_ref, ci_ref,
         return (nx, ny, state, sx, sy, ops)
 
     # grouped loop: load 8 direction rows per iteration at an 8-aligned
-    # sublane offset, walk them in descending wavefront order
+    # sublane offset, walk them in descending wavefront order; sub-tiles
+    # interleave per row (the walk is a pure dependency chain -> latency
+    # hiding, see the fill kernel)
     def group(gi, carry):
         g = (K // 8 - 1) - gi
         base = pl.multiple_of(g * 8, 8)
         tile = dirs_ref[:, pl.ds(base, 8), :].astype(jnp.int32)  # [BT, 8, L]
         for u in range(7, -1, -1):
-            carry = step(g * 8 + u, tile[:, u, :], carry)
+            carry = tuple(
+                step(g * 8 + u, s, tile[s * 8:(s + 1) * 8, u, :], carry[s])
+                for s in range(NS))
         return carry
 
     # skip blocks no walk can touch: every problem is either finished or
@@ -374,11 +401,17 @@ def _bt_kernel(dirs_ref, ymin_ref, bx_ref, by_ref, mode_ref, ci_ref,
 
     @pl.when(can_act)
     def _():
-        init = (x_s[:], y_s[:], state_s[:], stx_s[:], sty_s[:],
-                jnp.zeros((BT, K), jnp.int32))
+        init = tuple(
+            (x_s[s * 8:(s + 1) * 8, :], y_s[s * 8:(s + 1) * 8, :],
+             state_s[s * 8:(s + 1) * 8, :], stx_s[s * 8:(s + 1) * 8, :],
+             sty_s[s * 8:(s + 1) * 8, :], jnp.zeros((8, K), jnp.int32))
+            for s in range(NS))
         out = jax.lax.fori_loop(0, K // 8, group, init)
-        x_s[:], y_s[:], state_s[:], stx_s[:], sty_s[:] = out[:5]
-        ops_ref[:] = out[5]
+        for s in range(NS):
+            (x_s[s * 8:(s + 1) * 8, :], y_s[s * 8:(s + 1) * 8, :],
+             state_s[s * 8:(s + 1) * 8, :], stx_s[s * 8:(s + 1) * 8, :],
+             sty_s[s * 8:(s + 1) * 8, :]) = out[s][:5]
+            ops_ref[s * 8:(s + 1) * 8, :] = out[s][5]
 
     @pl.when(jnp.logical_not(can_act))
     def _():

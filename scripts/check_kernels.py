@@ -32,7 +32,7 @@ def main():
 
     failures = 0
     for trial in range(int(os.environ.get("TRIALS", "4"))):
-        B, Wp, Hp, L = 16, 1024, 1024, 128
+        B, Wp, Hp, L = 32, 1024, 1024, 128
         pk = np.zeros((B, 12), np.int32)
         pku = pk.view(np.uint32)
         pkf = pk.view(np.float32)
@@ -60,7 +60,7 @@ def main():
             pkf[b, 10:12] = cf
         args = (genome, readbuf, jnp.asarray(pk), params)
         o_scan = de._convex_kernel(*args, Wp=Wp, Hp=Hp, L=L, impl="scan")
-        for BT in (8, 16):
+        for BT in (8, 16, 32):
             K = 256
             o_pal = de._convex_kernel(*args, Wp=Wp, Hp=Hp, L=L,
                                       impl="pallas", K=K, BT=BT)
