@@ -115,10 +115,15 @@ def config_from_args(args, argv) -> Config:
 
 
 def main(argv=None):
+    import os
     argv = argv if argv is not None else sys.argv[1:]
     args = build_parser().parse_args(argv)
+    if os.environ.get("JAX_PLATFORMS"):
+        # a sitecustomize on the target host latches the platform before
+        # env vars are consulted — honor the user's choice explicitly
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     if args.nosse:
-        import os
         os.environ["NGMLR_TPU_NO_PALLAS"] = "1"
     if args.subread_aligner not in (0, 1, 2, 3):
         sys.stderr.write(f"Invalid subread aligner: {args.subread_aligner}\n")

@@ -207,8 +207,12 @@ class DeviceContext:
                    readbuf=None) -> None:
         """Fill .result of every problem (ungapped local segment score,
         StrippedSW semantics — see ngmlr_tpu.ops.ungapped)."""
+        pend = self.score_dispatch(problems, readbuf)
+        self.score_finalize(pend)
+
+    def score_dispatch(self, problems: Sequence[ScoreProblem], readbuf=None):
         if not problems:
-            return
+            return None
         readbuf = self.readbuf if readbuf is None else readbuf
         import time
         t0 = time.perf_counter()
@@ -243,8 +247,18 @@ class DeviceContext:
             pending.append((idxs, scores))
             self.stats["score_waves"] += 1
             self.stats["cells"] += len(idxs) * Rp * Qp
-        # one device->host round trip for every bucket of the wave
-        fetched = jax.device_get([s for _, s in pending])
+        self.stats["score_problems"] += len(problems)
+        self.stats["score_s"] += time.perf_counter() - t0
+        return (problems, pending)
+
+    def score_finalize(self, pend, fetched=None) -> None:
+        if pend is None:
+            return
+        import time
+        t0 = time.perf_counter()
+        problems, pending = pend
+        if fetched is None:
+            fetched = jax.device_get([s for _, s in pending])
         for (idxs, _), scores in zip(pending, fetched):
             for bi, i in enumerate(idxs):
                 p = problems[i]
@@ -253,7 +267,6 @@ class DeviceContext:
                     p.result = -1.0
                 else:
                     p.result = float(scores[bi])
-        self.stats["score_problems"] += len(problems)
         self.stats["score_s"] += time.perf_counter() - t0
 
     @staticmethod
@@ -283,8 +296,13 @@ class DeviceContext:
 
     def align_wave(self, problems: Sequence[AlignProblem],
                    params: Tuple[float, ...], readbuf=None) -> None:
+        pend = self.align_dispatch(problems, params, readbuf)
+        self.align_finalize(pend)
+
+    def align_dispatch(self, problems: Sequence[AlignProblem],
+                       params: Tuple[float, ...], readbuf=None):
         if not problems:
-            return
+            return None
         readbuf = self.readbuf if readbuf is None else readbuf
         import time
         t0 = time.perf_counter()
@@ -328,8 +346,18 @@ class DeviceContext:
             pending.append((idxs, packed_ops_dev[:, :n4], scalars_dev))
             self.stats["align_waves"] += 1
             self.stats["cells"] += len(idxs) * (Wp + Hp) * L
-        # one device->host round trip for every bucket of the wave
-        fetched = jax.device_get([(p, s) for _, p, s in pending])
+        self.stats["align_problems"] += len(problems)
+        self.stats["align_s"] += time.perf_counter() - t0
+        return (problems, pending)
+
+    def align_finalize(self, pend, fetched=None) -> None:
+        if pend is None:
+            return
+        import time
+        t0 = time.perf_counter()
+        problems, pending = pend
+        if fetched is None:
+            fetched = jax.device_get([(p, s) for _, p, s in pending])
         for (idxs, _, _), (packed, scalars) in zip(pending, fetched):
             for bi, i in enumerate(idxs):
                 p = problems[i]
@@ -339,7 +367,6 @@ class DeviceContext:
                 p.stop_x, p.stop_y = int(sx), int(sy)
                 p.ok = bool(okf)
                 p.ops = packed[bi]
-        self.stats["align_problems"] += len(problems)
         self.stats["align_s"] += time.perf_counter() - t0
 
 

@@ -49,8 +49,8 @@ def test_shard_merge_matches_full_run(tmp_path):
     (multi-host data parallelism over reads, SURVEY §2.11)."""
     import subprocess, sys, os
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    ref = os.path.join(DATA_DIR, "test_2", "ref_chr21_20kb.fa")
-    qry = os.path.join(DATA_DIR, "test_2", "reads_100_2200bp.fa")
+    ref = os.path.join(DATA_DIR, "test_6", "reference.fasta.gz")
+    qry = os.path.join(DATA_DIR, "test_6", "read.fa.gz")
     env = dict(os.environ, JAX_PLATFORMS="cpu")
 
     def run(extra, out):
@@ -83,13 +83,13 @@ def test_long_read_with_sv(tmp_path):
     import subprocess, sys, os
     rng = np.random.default_rng(99)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
-    genome = rng.choice(bases, size=120_000).tobytes()
+    genome = rng.choice(bases, size=60_000).tobytes()
     comp = bytes.maketrans(b"ACGT", b"TGCA")
 
-    # read: [10k..20k] + (deletion of 2k) + [22k..30k] + inverted [30k..33k]
-    part1 = genome[10_000:20_000]
-    part2 = genome[22_000:30_000]
-    part3 = genome[30_000:33_000].translate(comp)[::-1]
+    # read: [5k..10k] + (deletion of 1.5k) + [11.5k..16k] + inverted [16k..18k]
+    part1 = genome[5_000:10_000]
+    part2 = genome[11_500:16_000]
+    part3 = genome[16_000:18_000].translate(comp)[::-1]
     read = part1 + part2 + part3
 
     ref_p = tmp_path / "ref.fa"
