@@ -60,6 +60,50 @@ def revcomp(s: bytes) -> bytes:
     return s.translate(bytes.maketrans(b"ACGT", b"TGCA"))[::-1]
 
 
+class _StackSampler:
+    """Sampling profiler over ALL threads via sys._current_frames (no
+    external deps; yappi/py-spy are unavailable in this image). Attributes
+    samples to the innermost non-waiting frame so device-fetch blocking
+    shows up as jax waits and host compute shows up as real code."""
+
+    def __init__(self, hz=67):
+        import threading
+        self.hz = hz
+        self.counts = {}
+        self.n = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self):
+        self._thread.start()
+
+    def _run(self):
+        import sys as _s
+        me = self._thread.ident
+        while not self._stop.wait(1.0 / self.hz):
+            for tid, frame in _s._current_frames().items():
+                if tid == me:
+                    continue
+                f = frame
+                # skip pure-wait frames (lock/event waits) to blame the caller
+                while f is not None and f.f_code.co_filename.endswith(
+                        ("threading.py",)):
+                    f = f.f_back
+                if f is None:
+                    continue
+                key = "%s:%d %s" % (f.f_code.co_filename.split("/")[-1],
+                                    f.f_lineno, f.f_code.co_name)
+                self.counts[key] = self.counts.get(key, 0) + 1
+                self.n += 1
+
+    def stop_and_report(self, top=30):
+        self._stop.set()
+        self._thread.join()
+        sys.stderr.write("stack samples (%d total):\n" % self.n)
+        for key, c in sorted(self.counts.items(), key=lambda kv: -kv[1])[:top]:
+            sys.stderr.write("  %6.2f%% %s\n" % (100.0 * c / max(1, self.n), key))
+
+
 def main():
     from ngmlr_tpu.config import Config
     from ngmlr_tpu.pipeline.runner import Pipeline
@@ -107,13 +151,27 @@ def main():
     pipeline.run(warmup_path, io.BytesIO())
     pipeline.run(reads_path, io.BytesIO())
 
+    sampler = None
+    if os.environ.get("BENCH_SAMPLE"):
+        sampler = _StackSampler()
+        sampler.start()
     s0 = dict(pipeline.ctx.stats)
     t0 = time.time()
     stats = pipeline.run(reads_path, io.BytesIO())
     elapsed = time.time() - t0
-    ds = {k: pipeline.ctx.stats[k] - s0[k] for k in s0}
+    if sampler is not None:
+        sampler.stop_and_report()
+    ds = {k: v - s0.get(k, 0) for k, v in pipeline.ctx.stats.items()}
 
     rps = N_READS / elapsed
+    if os.environ.get("BENCH_VERBOSE"):
+        host_s = elapsed - ds["score_s"] - ds["align_s"] - ds["upload_s"]
+        sys.stderr.write("bench stats: elapsed=%.2fs %s host_other=%.2fs\n"
+                         % (elapsed,
+                            " ".join(f"{k}={v:.3f}" if isinstance(v, float)
+                                     else f"{k}={v}"
+                                     for k, v in sorted(ds.items())),
+                            host_s))
     mapped_frac = stats["mapped"] / max(1, stats["reads"])
     gcups = (ds["cells"] / ds["align_s"] / 1e9) if ds["align_s"] else 0.0
     result = {

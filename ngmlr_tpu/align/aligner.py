@@ -126,6 +126,7 @@ class AlignerConfig:
     score_gap_extend_max: float = -5.0
     score_gap_extend_min: float = -1.0
     score_gap_decay: float = 0.15
+    stdout_mode: int = 0      # --stdout 6: corridor/backtrack dump
 
     @property
     def params(self):
@@ -134,15 +135,60 @@ class AlignerConfig:
                 self.score_gap_decay)
 
 
+# The reference's per-computeAlignment-attempt id (static int alignmentId,
+# AlignmentBuffer.cpp:241); feeds the --stdout 6 dump consumed by its
+# convex-align-vis.r script.
+_ALIGNMENT_ID = [0]
+
+
+def _dump6_path(dbg6, problem):
+    """revBacktrack's per-step path dump (ConvexAlignFast.cpp:375-377):
+    every visited non-STOP cell from the best cell down, replayed from the
+    packed op stream."""
+    import sys
+    aid, rid = dbg6
+    w = sys.stdout.write
+    x, y = problem.best_x, problem.best_y
+    ops = problem.ops
+    if ops is None or y <= 0:
+        return
+    t = x + y
+    while t >= 0 and x >= 0 and y >= 0:
+        e = (int(ops[t >> 2]) >> ((t & 3) * 2)) & 3
+        if e == 0:          # STOP cell (not printed) or walk failure point
+            break
+        w("%d\t%d\t%d\t%d\t%d\n" % (aid, rid, x, y, 2))
+        if e == 1:          # diag
+            x -= 1
+            y -= 1
+        elif e == 2:        # ins
+            y -= 1
+        else:               # del
+            x -= 1
+        t = x + y
+
+
 def align_banded(ref_win: RefWin, qry_view: SeqView, corridor: Corridor,
                  external_qstart: int, external_qend: int,
-                 params=DEFAULT_PARAMS) -> Optional[Align]:
+                 params=DEFAULT_PARAMS, dbg6=None) -> Optional[Align]:
     """One SingleAlign call: device fill + device backtrack + host CIGAR
     conversion. Returns None on backtrack failure (out-of-corridor path /
     no alignment); the caller checks final cigar length == full read length.
     """
     if qry_view.length == 0 or ref_win.W == 0:
         return None
+    if dbg6 is not None:
+        # SingleAlign header + per-row corridor dump (ConvexAlignFast.cpp
+        # :474-476, :634-638)
+        import sys
+        aid, rid = dbg6
+        w = sys.stdout.write
+        w("%d\t%d\t%d\t%d\t%d\n" % (aid, rid, ref_win.W, qry_view.length, -1))
+        offs = materialize_offsets(corridor, qry_view.length)
+        for y in range(qry_view.length):
+            o = int(offs[y])
+            w("%d\t%d\t%d\t%d\t%d\n" % (aid, rid, o, y, 0))
+            w("%d\t%d\t%d\t%d\t%d\n" % (aid, rid, o + corridor.width, y, 1))
     problem = AlignProblem(ref_win.desc, qry_view.desc(), corridor.mode,
                            corridor.cf, corridor.ci, corridor.width)
     from ..pipeline import batcher as _batcher
@@ -151,11 +197,17 @@ def align_banded(ref_win: RefWin, qry_view: SeqView, corridor: Corridor,
         wb.align(problem, params)
     else:
         device_engine.current().align_wave([problem], params)
-    if not problem.ok:
-        return None
-    out = ops_convert(problem.ops, problem.best_x, problem.best_y,
-                      ref_win.data, qry_view.to_bytes(),
-                      external_qstart, external_qend)
+    if dbg6 is not None:
+        _dump6_path(dbg6, problem)
+    out = None
+    if problem.ok:
+        out = ops_convert(problem.ops, problem.best_x, problem.best_y,
+                          ref_win.data, qry_view.to_bytes(),
+                          external_qstart, external_qend)
+    if dbg6 is not None:
+        final_len = out[1] if out is not None else -1
+        sys.stdout.write("%d\t%d\t%d\t%d\t%d\n" % (
+            dbg6[0], dbg6[1], int(problem.score), final_len, -3))
     if out is None:
         return None
     align, final_len = out
@@ -170,7 +222,8 @@ def compute_alignment(interval, corridor: int, qry_view: SeqView,
                       cfg: AlignerConfig,
                       realign: bool = False, full_alignment: bool = False,
                       short_read: bool = False,
-                      read_part_length: int = 256) -> Optional[Align]:
+                      read_part_length: int = 256,
+                      read=None) -> Optional[Align]:
     """computeAlignment retry loop (AlignmentBuffer.cpp:226-465).
 
     `ref_win` wraps the decoded [onRefStart, onRefStop] window
@@ -198,8 +251,37 @@ def compute_alignment(interval, corridor: int, qry_view: SeqView,
         else:
             c = corridor_endpoints(corridor * mult, ref_win.W, qry_len, realign)
 
+        dbg6 = None
+        if cfg.stdout_mode == 6:
+            # per-attempt dump: anchors + meta lines (AlignmentBuffer.cpp
+            # :332-349), then the SingleAlign dump inside align_banded;
+            # alignmentId increments per attempt (:403)
+            import sys
+            aid = _ALIGNMENT_ID[0]
+            _ALIGNMENT_ID[0] += 1
+            rid = read.read_id if read is not None else 0
+            w = sys.stdout.write
+            if interval is not None:
+                for a in interval.anchors:
+                    if a.is_reverse:
+                        ay = (full_read_length - a.on_read - read_part_length
+                              - external_qstart)
+                    else:
+                        ay = a.on_read - external_qstart
+                    w("%d\t%d\t%d\t%d\t%d\n" % (
+                        aid, rid, int(a.on_ref - interval.on_ref_start), ay, 3))
+            w("%d\t%d\t%d\t%s\t%d\n" % (
+                aid, rid, rid,
+                read.name.decode() if read is not None else "", -4))
+            is_rev = int(interval.is_reverse) if interval is not None else 0
+            w("%d\t%d\t%d\t%d\t%d\n" % (aid, rid, is_rev, c.width, -5))
+            w("%d\t%d\t%d\t%d\t%d\n" % (aid, rid, external_qstart,
+                                        external_qend, -6))
+            dbg6 = (aid, rid)
+
         align = align_banded(ref_win, qry_view, c,
-                             external_qstart, external_qend, cfg.params)
+                             external_qstart, external_qend, cfg.params,
+                             dbg6=dbg6)
         if align is not None and align._final_cigar_length == full_read_length:
             return align
         mult += 1

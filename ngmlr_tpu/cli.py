@@ -128,9 +128,6 @@ def main(argv=None):
     if args.subread_aligner not in (0, 1, 2, 3):
         sys.stderr.write(f"Invalid subread aligner: {args.subread_aligner}\n")
         return 1
-    if args.stdout in (3, 4, 6, 7):
-        sys.stderr.write(
-            f"stdout debug mode {args.stdout} is not implemented yet\n")
     shard, n_shards = 0, 1
     if args.shard:
         shard, n_shards = (int(v) for v in args.shard.split("/"))

@@ -281,9 +281,12 @@ class DeviceContext:
             return "scan", 256, 8
         # K is the lane dim of the per-wavefront scalar blocks -> >= 128
         K = 128 if L > 256 else 256
+        # BT must NOT depend on n_problems: compile keys stay deterministic
+        # across nondeterministic wave compositions (a fresh BT mid-run costs
+        # a 20-90 s Mosaic compile), and a BT=32 tile takes the same wall
+        # time as a BT=8 tile anyway (NS-way latency hiding) so padding a
+        # small wave to 32 is free
         for BT in (32, 16, 8):
-            if n_problems <= BT // 2 and BT > 8:
-                continue
             vmem = (BT * 4 * (Hp + 2 * L)        # i32 query rows
                     + BT * K * L * 4              # dirs accumulator
                     + 3 * BT * K * L              # dirs in/out blocks (u8)

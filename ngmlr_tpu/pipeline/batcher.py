@@ -146,6 +146,8 @@ class WaveBatcher:
         single device_get for the whole wave was tried and REGRESSED both
         CPU tests (3x) and TPU throughput (~15%) — early buckets' results
         feed workers sooner when fetched per kind."""
+        self.ctx.stats["fire_rounds"] = \
+            self.ctx.stats.get("fire_rounds", 0) + 1
         by_params = {}
         for problem, params, ev in aligns:
             by_params.setdefault(params, []).append((problem, ev))

@@ -87,7 +87,8 @@ class LongReadProcessor:
         self.cfg = cfg
         self.acfg = AlignerConfig(cfg.score_match, cfg.score_mismatch,
                                   cfg.score_gap_open, cfg.score_gap_extend_max,
-                                  cfg.score_gap_extend_min, cfg.score_gap_decay)
+                                  cfg.score_gap_extend_min, cfg.score_gap_decay,
+                                  stdout_mode=cfg.stdout_mode)
         self.rpl = cfg.read_part_length
 
     # ------------------------------------------------------------------
@@ -384,10 +385,12 @@ class LongReadProcessor:
         return compute_alignment(iv, corridor, read_seq, qstart, qend,
                                  read.length, ref_win, self.acfg,
                                  realign=realign, full_alignment=full_alignment,
-                                 short_read=False, read_part_length=self.rpl)
+                                 short_read=False, read_part_length=self.rpl,
+                                 read=read)
 
     def _sv_probes(self, align: Align, iv: Interval, read_part_seq: SeqView,
-                   inv_mid_ref: int, inv_mid_read: int, inversion_length: int
+                   inv_mid_ref: int, inv_mid_read: int, inversion_length: int,
+                   read: Optional[Read] = None
                    ) -> Optional[Tuple[ScoreProblem, ScoreProblem]]:
         """checkForSV's two scoring probes (AlignmentBuffer.cpp:1158-1230);
         None when the reference answers SV_NONE without scoring."""
@@ -410,6 +413,15 @@ class LongReadProcessor:
                                      inv_mid_read + read_check_length)
         if read_seq.length == 0:
             return None
+        if self.cfg.stdout_mode == 4 and read is not None:
+            # printInvCandidateFa (AlignmentBuffer.cpp:1213-1216);
+            # inversionNumber is a checkForSV local, so always 1 (:1160,1175)
+            import sys as _sys
+            ref_bytes = self.ref.decode_window(check_loc, ref_seq_length) or b""
+            rev_read = reverse_complement(read_seq.to_bytes())
+            _sys.stdout.write(">%s_1/1\n%s\n>%s_1/2\n%s\n" % (
+                read.name.decode(), ref_bytes.rstrip(b"\x00").decode(),
+                read.name.decode(), rev_read.decode()))
         return (ScoreProblem(ref_desc, read_seq.desc()),
                 ScoreProblem(ref_desc, read_seq.revcomp().desc()))
 
@@ -443,6 +455,20 @@ class LongReadProcessor:
 
         n_use = min(len(nmp), n_rows)
         nm_count = nmp[:n_use, 2]
+        if self.cfg.stdout_mode in (2, 3):
+            # mappingLocation (AlignmentBuffer.cpp:1299-1302)
+            conv = self.ref.convert(aligned_iv.on_ref_start
+                                    + align.position_offset)
+            dbg_name, dbg_loc = ((self.ref.name_of(conv[0]).decode(), conv[1])
+                                 if conv else ("*", 0))
+        if self.cfg.stdout_mode == 3:
+            # stdoutErrorProfile (AlignmentBuffer.cpp:1304-1309)
+            import sys as _sys
+            w = _sys.stdout.write
+            rn = read.name.decode()
+            for i in range(n_use):
+                w("%s\t%d\t%d\t%s\n" % (dbg_name, dbg_loc + int(nmp[i, 1]),
+                                        int(nmp[i, 2]), rn))
         inv_rows = np.nonzero((nm_count >= 9) & (nm_count <= 31))[0]
         if len(inv_rows) == 0:
             return SV_NONE, None, None
@@ -460,11 +486,17 @@ class LongReadProcessor:
             first, last = int(inv_rows[s]), int(inv_rows[e])
             start_inv, start_inv_read = int(nmp[first, 1]), int(nmp[first, 0])
             stop_inv, stop_inv_read = int(nmp[last, 1]), int(nmp[last, 0])
+            if self.cfg.stdout_mode == 2:
+                # stdoutInversionBed (AlignmentBuffer.cpp:1348-1352)
+                import sys as _sys
+                _sys.stdout.write("%s\t%d\t%d\t%s\t%d\n" % (
+                    dbg_name, dbg_loc + start_inv, dbg_loc + stop_inv,
+                    read.name.decode(), 0))
             mid_ref = (start_inv + stop_inv) // 2
             mid_read = (start_inv_read + stop_inv_read) // 2
             inv_len = abs(stop_inv - start_inv)
             pr = self._sv_probes(align, aligned_iv, read_part_seq,
-                                 mid_ref, mid_read, inv_len)
+                                 mid_ref, mid_read, inv_len, read=read)
             peaks.append((mid_ref, mid_read, pr))
             if pr is not None:
                 probes.extend(pr)
@@ -666,6 +698,10 @@ class LongReadProcessor:
                 continue
             tree.append((sub.on_read, sub.on_read + rpl, sub.mq))
             unique = n == 1
+            if cfg.stdout_mode == 7:   # AlignmentBuffer.cpp:2944-2946
+                import sys as _sys
+                for k in range(n):
+                    _sys.stdout.write("%f\n" % float(sub.scores[k]))
             for k in range(n):
                 anchors.append(Anchor(sub.on_read, int(sub.locations[k]),
                                       float(sub.scores[k]), bool(sub.reverse[k]),

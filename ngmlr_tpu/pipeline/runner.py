@@ -78,7 +78,11 @@ class Pipeline:
                        if nxt is not None else None)
                 self._read_bp += sum(len(r.seq) for r in cur_batch
                                      if not r.empty)
+                tw = time.perf_counter()
                 self._run_waves(cur_batch, cur_prep, writer)
+                self.ctx.stats["waves_wall_s"] = (
+                    self.ctx.stats.get("waves_wall_s", 0.0)
+                    + time.perf_counter() - tw)
                 if progress:
                     self._progress_line(t0)
         return self.stats
@@ -109,6 +113,7 @@ class Pipeline:
         batch N's alignment waves execute."""
         cfg = self.cfg
         rpl = cfg.read_part_length
+        tp = time.perf_counter()
 
         total = sum(len(r.seq) for r in batch if not r.empty)
         buf = np.empty(total, dtype=np.uint8)
@@ -137,8 +142,15 @@ class Pipeline:
                     seqs.append(read.subread_seq(j, rpl))
                     owners.append((ri, j))
 
+        self.ctx.stats["prep_enc_s"] = (self.ctx.stats.get("prep_enc_s", 0.0)
+                                        + time.perf_counter() - tp)
+        tp = time.perf_counter()
         cands = search_batch(self.index, seqs, cfg.sensitivity,
                              cfg.min_kmer_hits)
+        self.ctx.stats["prep_search_s"] = (
+            self.ctx.stats.get("prep_search_s", 0.0)
+            + time.perf_counter() - tp)
+        tp = time.perf_counter()
         per_read_long = {}
         per_read_short = {}
         for (ri, j), cand in zip(owners, cands):
@@ -156,6 +168,9 @@ class Pipeline:
         scored = score_read_batch(self.ref, cfg, long_reads, cand_lists,
                                   readbuf=readbuf)
         scored_by_ri = dict(zip(long_ris, scored))
+        self.ctx.stats["prep_score_stage_s"] = (
+            self.ctx.stats.get("prep_score_stage_s", 0.0)
+            + time.perf_counter() - tp)
         return readbuf, per_read_short, scored_by_ri
 
     def _run_waves(self, batch: List[Read], prep, writer: SamWriter):
@@ -185,15 +200,32 @@ class Pipeline:
                 job_key[ri] = len(jobs)
                 jobs.append(make_long_job(read, scored_by_ri[ri]))
 
-        wb = _batcher.WaveBatcher(self.ctx, readbuf=readbuf)
-        _batcher.set_current(wb)
-        try:
-            outcomes = wb.map_jobs(jobs)
-        finally:
-            _batcher.set_current(None)
+        import os
+        if os.environ.get("NGMLR_TPU_SYNC"):
+            # profiling/debug mode: run jobs serially in this thread (every
+            # device request becomes its own wave) so cProfile sees the
+            # whole per-read host path
+            self.ctx.readbuf = readbuf
+            outcomes = []
+            for job in jobs:
+                try:
+                    outcomes.append(job())
+                except BaseException as e:
+                    if os.environ.get("NGMLR_TPU_STRICT"):
+                        raise
+                    sys.stderr.write(f"Error processing read: {e!r}\n")
+                    outcomes.append(None)
+        else:
+            wb = _batcher.WaveBatcher(self.ctx, readbuf=readbuf)
+            _batcher.set_current(wb)
+            try:
+                outcomes = wb.map_jobs(jobs)
+            finally:
+                _batcher.set_current(None)
 
         # --- emit in reference order (shorts first per intake group of 10,
         #     then longs; NGM.cpp:190-246 + CS.cpp:276-318) ----------------
+        te = time.perf_counter()
         for g0 in range(0, len(batch), INTAKE_GROUP):
             group = list(range(g0, min(g0 + INTAKE_GROUP, len(batch))))
             for ri in group:
@@ -218,6 +250,8 @@ class Pipeline:
                 mapped, records = outcomes[job_key[ri]]
                 writer.write_read(read, records, mapped)
                 self._count(mapped and any(not r.align.skip for r in records))
+        self.ctx.stats["emit_s"] = (self.ctx.stats.get("emit_s", 0.0)
+                                    + time.perf_counter() - te)
 
     def _count(self, mapped: bool):
         self.stats["reads"] += 1

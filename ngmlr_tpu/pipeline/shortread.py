@@ -90,7 +90,8 @@ def process_short_read(ref: ReferenceGenome, cfg: Config, read: Read,
             align = compute_alignment(iv, short_read_corridor, read_part_seq,
                                       0, 0, read.length, ref_win, acfg,
                                       short_read=True,
-                                      read_part_length=cfg.read_part_length)
+                                      read_part_length=cfg.read_part_length,
+                                      read=read)
         mapped = align is not None and align.score > 0.0
         if mapped:
             residues = read.length - align.qstart - align.qend

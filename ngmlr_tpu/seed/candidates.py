@@ -147,52 +147,82 @@ def search_batch(index: KmerIndex, seqs: List[bytes], sensitivity: float = 0.8,
     grp_strand[grp_id] = v_str
     np.add.at(grp_total, grp_id, 1)
 
-    # --- emergence (rList crossing) per subread ----------------------------
+    # --- emergence (rList crossing), fully vectorized ----------------------
+    # Per-subread running max of vote counts with per-segment reset: add
+    # sub_idx * OFFSET (exact in f64 for these magnitudes) so the
+    # accumulate never carries across subreads.
     resolve_off = (1 << (bin_size - 1)) if bin_size > 0 else 0
-    out: List[SubreadCandidates] = []
-    sub_bounds = np.searchsorted(v_sub, np.arange(len(seqs) + 1))
+    n_seqs = len(seqs)
+    sub_bounds = np.searchsorted(v_sub, np.arange(n_seqs + 1))
     counts_f = count_after.astype(np.float32)
 
-    for si in range(len(seqs)):
-        lo, hi = int(sub_bounds[si]), int(sub_bounds[si + 1])
-        if lo == hi:
-            out.append(SubreadCandidates(np.zeros(0, np.int64), np.zeros(0, bool),
-                                         np.zeros(0, np.float32), bool(mq_zero[si])))
-            continue
-        cnt = counts_f[lo:hi]
-        run_max = np.maximum.accumulate(cnt)
-        thresh = run_max * sens                       # f32 (AddLocationStd)
-        crossing = cnt >= thresh
-        gids = grp_id[lo:hi]
+    OFF = np.float64(1 << 40)
+    run_max = (np.maximum.accumulate(count_after.astype(np.float64)
+                                     + v_sub * OFF)
+               - v_sub * OFF).astype(np.float32)
+    thresh = run_max * sens                           # f32 (AddLocationStd)
+    crossing = counts_f >= thresh
+    # final per-subread threshold: max(minKmerHits, f32(final_max * sens))
+    final_max = np.zeros(n_seqs, np.float32)
+    nonempty = sub_bounds[1:] > sub_bounds[:-1]
+    final_max[nonempty] = run_max[sub_bounds[1:][nonempty] - 1]
+    final_thresh = np.maximum(f32(min_kmer_hits),
+                              (final_max * sens).astype(np.float32))
 
-        # entry (bin) crossing time: first crossing vote of EITHER strand.
-        # entries are keyed by bin only (rTable slot), CS.cpp:102-148
-        final_max = float(run_max[-1])
-        final_thresh = max(f32(min_kmer_hits), f32(f32(final_max) * sens))
+    # entry (bin) crossing time: first crossing vote of EITHER strand;
+    # entries are keyed by bin only (rTable slot), CS.cpp:102-148
+    cross = np.nonzero(crossing)[0]
+    cs, cb = v_sub[cross], v_bin[cross]
+    o = np.lexsort((cross, cb, cs))
+    fs, fb, fx = cs[o], cb[o], cross[o]
+    first = np.ones(len(fs), dtype=bool)
+    first[1:] = (fs[1:] != fs[:-1]) | (fb[1:] != fb[:-1])
+    ent_sub, ent_bin, ent_at = fs[first], fb[first], fx[first]
+    eo = np.lexsort((ent_at, ent_sub))
+    ent_sub, ent_bin = ent_sub[eo], ent_bin[eo]
 
-        cross_votes = np.nonzero(crossing)[0]
-        cb = grp_bin[gids[cross_votes]]
-        uniq_bins, first_idx = np.unique(cb, return_index=True)
-        order_bins = uniq_bins[np.argsort(first_idx, kind="stable")].tolist()
+    # per-(sub, bin, strand) totals: lookup by packed key into the sorted
+    # group arrays (grp_* are in (sub, bin, strand) lexicographic order)
+    if len(ent_sub) == 0:
+        e = _empty()
+        return [SubreadCandidates(e.locations, e.reverse, e.counts,
+                                  bool(mq_zero[si]))
+                for si in range(n_seqs)]
+    BMAX = np.int64(1) << 36                           # bins < 2^35
+    gkey = (grp_sub * BMAX + grp_bin) * 2 + grp_strand
+    ekey = (ent_sub * BMAX + ent_bin) * 2
+    fidx = np.searchsorted(gkey, ekey)
+    ridx = np.searchsorted(gkey, ekey + 1)
+    last = len(gkey) - 1
+    has_f = (fidx <= last) & (gkey[np.minimum(fidx, last)] == ekey)
+    has_r = (ridx <= last) & (gkey[np.minimum(ridx, last)] == ekey + 1)
+    fc = np.where(has_f, grp_total[np.minimum(fidx, last)], 0
+                  ).astype(np.float32)
+    rc_ = np.where(has_r, grp_total[np.minimum(ridx, last)], 0
+                   ).astype(np.float32)
+    th = final_thresh[ent_sub]
+    keep_f = fc >= th
+    keep_r = rc_ >= th
 
-        locs, revs, cnts = [], [], []
-        sub_groups = {}
-        for g in np.unique(gids):
-            sub_groups[(int(grp_bin[g]), int(grp_strand[g]))] = float(grp_total[g])
-        for b in order_bins:
-            fc = sub_groups.get((b, 0), 0.0)
-            rcnt = sub_groups.get((b, 1), 0.0)
-            if f32(fc) >= final_thresh:
-                locs.append((b << bin_size) + resolve_off)
-                revs.append(False)
-                cnts.append(fc)
-            if f32(rcnt) >= final_thresh:
-                locs.append((b << bin_size) + resolve_off)
-                revs.append(True)
-                cnts.append(rcnt)
-        out.append(SubreadCandidates(
-            np.asarray(locs, dtype=np.int64),
-            np.asarray(revs, dtype=bool),
-            np.asarray(cnts, dtype=np.float32),
-            bool(mq_zero[si])))
+    # interleave fwd-then-rev per entry, drop entries keeping neither
+    n_ent = len(ent_sub)
+    ent_loc = (ent_bin << bin_size) + resolve_off
+    out_sub = np.repeat(ent_sub, 2)
+    out_loc = np.repeat(ent_loc, 2)
+    out_rev = np.tile(np.array([False, True]), n_ent)
+    out_cnt = np.empty(2 * n_ent, np.float32)
+    out_cnt[0::2] = fc
+    out_cnt[1::2] = rc_
+    keep = np.empty(2 * n_ent, bool)
+    keep[0::2] = keep_f
+    keep[1::2] = keep_r
+    out_sub, out_loc = out_sub[keep], out_loc[keep]
+    out_rev, out_cnt = out_rev[keep], out_cnt[keep]
+
+    res_bounds = np.searchsorted(out_sub, np.arange(n_seqs + 1))
+    out: List[SubreadCandidates] = []
+    for si in range(n_seqs):
+        lo, hi = int(res_bounds[si]), int(res_bounds[si + 1])
+        out.append(SubreadCandidates(out_loc[lo:hi], out_rev[lo:hi],
+                                     out_cnt[lo:hi], bool(mq_zero[si])))
     return out
