@@ -18,10 +18,26 @@ f32 = np.float32
 
 
 def clis(anchors: List[Anchor], read_part_length: int = 256) -> List[int]:
-    """Returns indices of the chain, ascending (AlignmentBuffer.cpp:490-564)."""
+    """Returns indices of the chain, ascending (AlignmentBuffer.cpp:490-564).
+
+    Dispatches to the native C++ DP (ngmlr_tpu/native/cigar_native.cpp
+    clis_chain) when available; this Python twin is the test oracle."""
     n = len(anchors)
     if n == 0:
         return []
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None and n > 4:
+        on_read = np.fromiter((a.on_read for a in anchors), np.int64, n)
+        on_ref = np.fromiter((a.on_ref for a in anchors), np.int64, n)
+        is_rev = np.fromiter((a.is_reverse for a in anchors), np.uint8, n)
+        out = np.empty(n, np.int32)
+        scratch = np.empty(2 * n, np.int32)
+        m = lib.clis_chain(on_read.ctypes.data, on_ref.ctypes.data,
+                           is_rev.ctypes.data, n, read_part_length,
+                           out.ctypes.data, scratch.ctypes.data,
+                           scratch[n:].ctypes.data)
+        return out[:m].tolist()
     dp = [1] * n
     trace = [-1] * n
     max_length = 1

@@ -90,6 +90,11 @@ def get_lib():
                 fn3.restype = None
                 fn3.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                 ctypes.c_int64, ctypes.c_int32]
+            fn4 = lib.clis_chain
+            fn4.restype = ctypes.c_int32
+            fn4.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                            ctypes.c_int32, ctypes.c_int32,
+                            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
             _lib = lib
         except Exception:
             _lib = None

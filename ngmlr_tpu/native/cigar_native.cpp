@@ -396,3 +396,63 @@ extern "C" void std_sort_perm_f32(const float* keys, int32_t* idx,
               [keys](int32_t a, int32_t b) { return keys[a] < keys[b]; });
   }
 }
+
+// ---------------------------------------------------------------------------
+// cLIS chain DP (AlignmentBuffer.cpp:490-564): O(n^2) constrained longest
+// increasing subsequence over anchors. Semantics mirror the Python twin in
+// ngmlr_tpu.chain.clis exactly (double arithmetic, descending-j scan with
+// strict improvement => trace picks the highest-index predecessor among
+// those with maximal dp). Returns the chain length; out_idx holds the
+// chain's pool indices in ascending order.
+extern "C" int32_t clis_chain(const int64_t* on_read, const int64_t* on_ref,
+                              const uint8_t* is_rev, int32_t n,
+                              int32_t read_part_length, int32_t* out_idx,
+                              int32_t* dp, int32_t* trace) {
+  if (n <= 0) return 0;
+  const double max_ref_diff = (double)read_part_length * 2.0;
+  int32_t max_length = 1;
+  int32_t best_end = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    dp[i] = 1;
+    trace[i] = -1;
+    const int64_t ai_read = on_read[i];
+    const int64_t ai_ref = on_ref[i];
+    const uint8_t ai_rev = is_rev[i];
+    for (int32_t j = i - 1; j >= 0; --j) {
+      if (dp[j] + 1 <= dp[i]) continue;
+      if (is_rev[j] != ai_rev) continue;
+      const int64_t ref_diff =
+          ai_rev ? (on_ref[j] - ai_ref) : (ai_ref - on_ref[j]);
+      const int64_t read_diff = ai_read - on_read[j];
+      const int64_t adiff = ref_diff >= read_diff ? ref_diff - read_diff
+                                                  : read_diff - ref_diff;
+      const int64_t aref = ref_diff < 0 ? -ref_diff : ref_diff;
+      const int64_t mx = aref > read_diff ? aref : read_diff;
+      const int64_t max_diff = (int64_t)((double)mx * 0.25);
+      if ((adiff < max_diff ||
+           (ai_read == on_read[j] && aref <= (int64_t)read_part_length)) &&
+          (double)ref_diff < max_ref_diff && ref_diff >= 0) {
+        dp[i] = dp[j] + 1;
+        trace[i] = j;
+      }
+    }
+    if (dp[i] > max_length) {
+      best_end = i;
+      max_length = dp[i];
+    }
+  }
+  int32_t m = 0;
+  int32_t i = best_end;
+  while (trace[i] != -1) {
+    out_idx[m++] = i;
+    i = trace[i];
+  }
+  out_idx[m++] = i;
+  // reverse to ascending order
+  for (int32_t a = 0, b = m - 1; a < b; ++a, --b) {
+    int32_t t = out_idx[a];
+    out_idx[a] = out_idx[b];
+    out_idx[b] = t;
+  }
+  return m;
+}

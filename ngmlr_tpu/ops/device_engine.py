@@ -251,6 +251,53 @@ class DeviceContext:
         self.stats["score_s"] += time.perf_counter() - t0
         return (problems, pending)
 
+    def score_wave_np(self, pk: np.ndarray, readbuf=None) -> np.ndarray:
+        """Array fast path for bulk candidate scoring: pk int32 [P, 7] rows
+        laid out as in score_dispatch ((ds u32, hi u32, diff, W, qstart,
+        qlen, qrev)). Returns f32 [P] scores. Avoids per-problem Python
+        objects on the 10k-problems-per-batch hot path (ScoreBuffer's role,
+        ScoreBuffer.cpp:87-130)."""
+        readbuf = self.readbuf if readbuf is None else readbuf
+        import time
+        t0 = time.perf_counter()
+        P = len(pk)
+        out = np.zeros(P, dtype=np.float32)
+        if P == 0:
+            return out
+        W = pk[:, 3].astype(np.int64)
+        qlen = np.maximum(pk[:, 5].astype(np.int64), 1)
+        Rp = np.where(
+            W <= 512,
+            np.maximum(64, (W + 63) // 64 * 64),
+            np.int64(1) << np.ceil(np.log2(np.maximum(W, 512))).astype(np.int64))
+        Qp = np.int64(1) << np.ceil(np.log2(np.maximum(qlen, 64))
+                                    ).astype(np.int64)
+        key = Rp * (1 << 20) + Qp
+        s_impl = ("pallas" if jax.default_backend() == "tpu"
+                  and not os.environ.get("NGMLR_TPU_NO_PALLAS") else "scan")
+        pending = []
+        for k in np.unique(key):
+            idxs = np.nonzero(key == k)[0]
+            rp, qp = int(k >> 20), int(k & ((1 << 20) - 1))
+            n = len(idxs)
+            Pp = _pow2(n, 8)
+            pkb = np.zeros((Pp, 7), dtype=np.int32)
+            pkb[:n] = pk[idxs]
+            scores = _score_kernel(self.genome, readbuf,
+                                   jnp.asarray(pkb), Rp=rp, Qp=qp,
+                                   impl=s_impl)
+            pending.append((idxs, scores))
+            self.stats["score_waves"] += 1
+            self.stats["cells"] += n * rp * qp
+        fetched = jax.device_get([s for _, s in pending])
+        for (idxs, _), scores in zip(pending, fetched):
+            out[idxs] = scores[:len(idxs)]
+        # ssw maxSeqLen guard (StrippedSW.h:87), as in score_finalize
+        out[(W + 1 >= MAX_SEQ_LEN) | (qlen + 1 >= MAX_SEQ_LEN)] = -1.0
+        self.stats["score_problems"] += P
+        self.stats["score_s"] += time.perf_counter() - t0
+        return out
+
     def score_finalize(self, pend, fetched=None) -> None:
         if pend is None:
             return
@@ -272,26 +319,38 @@ class DeviceContext:
     @staticmethod
     def _convex_impl(Wp: int, Hp: int, L: int,
                      n_problems: int) -> Tuple[str, int, int]:
-        """Pick the kernel implementation, wavefront block size K, and
+        """Pick the kernel implementation, fill wavefront-block size K, and
         problems-per-tile BT for a bucket: Pallas on TPU when the working
-        set fits VMEM, else the pure-XLA scan. Larger BT amortizes Mosaic
-        per-op overhead; padding waste caps it for small buckets."""
+        set fits VMEM, else the pure-XLA scan (~10 us/wavefront — only for
+        corridors too wide for any VMEM budget). For wide corridors
+        (L > 1024: retry multipliers, realigns) the FILL kernel shrinks K
+        (its blocks are 3D, so K only needs 8-alignment); the backtrack
+        kernel keeps K=128 (2D [BT, K] blocks need 128 lanes) and fits
+        because it has no i32 accumulator — see align_dispatch."""
         if (jax.default_backend() != "tpu"
                 or os.environ.get("NGMLR_TPU_NO_PALLAS")):
             return "scan", 256, 8
-        # K is the lane dim of the per-wavefront scalar blocks -> >= 128
-        K = 128 if L > 256 else 256
+        budget = 14 * 1024 * 1024
         # BT must NOT depend on n_problems: compile keys stay deterministic
         # across nondeterministic wave compositions (a fresh BT mid-run costs
         # a 20-90 s Mosaic compile), and a BT=32 tile takes the same wall
         # time as a BT=8 tile anyway (NS-way latency hiding) so padding a
         # small wave to 32 is free
-        for BT in (32, 16, 8):
-            vmem = (BT * 4 * (Hp + 2 * L)        # i32 query rows
-                    + BT * K * L * 4              # dirs accumulator
-                    + 3 * BT * K * L              # dirs in/out blocks (u8)
-                    + 9 * BT * L * 4)             # carry/scratch planes
-            if vmem <= 11 * 1024 * 1024:
+        if L <= 1024:
+            K = 128 if L > 256 else 256
+            for BT in (32, 16, 8):
+                vmem = (BT * K * L * 4            # dirs accumulator (i32)
+                        + 3 * BT * K * L          # dirs in/out blocks (u8)
+                        + 10 * BT * L * 4)        # qry0 + carry/scratch
+                if vmem <= budget:
+                    return "pallas", K, BT
+        BT = 8
+        # backtrack VMEM bound: double-buffered [BT, 128, L] u8 dirs blocks
+        if 2 * BT * 128 * L > budget:
+            return "scan", 256, 8
+        for K in (128, 64, 32, 16, 8):
+            vmem = (BT * K * L * 4 + 3 * BT * K * L + 10 * BT * L * 4)
+            if vmem <= budget:
                 return "pallas", K, BT
         return "scan", 256, 8
 
@@ -309,17 +368,25 @@ class DeviceContext:
         readbuf = self.readbuf if readbuf is None else readbuf
         import time
         t0 = time.perf_counter()
+        # ONE launch per lane-class: kernel wall scales with PADDED cells
+        # (B x TpP x L) but the per-b-tile activity table skips trailing
+        # wavefront blocks, so problems of very different lengths share a
+        # launch almost for free once sorted by T (tiles stay
+        # length-homogeneous). Splitting a 64-problem wave into 8 launches
+        # measured 2.2x slower than one launch on the chip.
         buckets = {}
         for i, p in enumerate(problems):
-            Wp = _size_class(max(p.ref.W, 1), 256)
-            Hp = _size_class(max(p.qry.length, 1), 256)
             # lanes: multiples of 128 up to 1024, then size classes
             w = p.width + 3
             L = (w + 127) // 128 * 128 if w <= 1024 else _size_class(w, 1024)
-            buckets.setdefault((Wp, Hp, L), []).append(i)
+            buckets.setdefault(L, []).append(i)
         pvec = self._params_vec(tuple(params))
         pending = []
-        for (Wp, Hp, L), idxs in buckets.items():
+        for L, idxs in buckets.items():
+            idxs.sort(key=lambda i: problems[i].T, reverse=True)
+            Wp = _size_class(max(max(problems[i].ref.W for i in idxs), 1), 256)
+            Hp = _size_class(max(max(problems[i].qry.length for i in idxs), 1),
+                             256)
             impl, K, BT = self._convex_impl(Wp, Hp, L, len(idxs))
             B = (len(idxs) + BT - 1) // BT * BT
             B = max(B, 8)
@@ -527,7 +594,10 @@ def _convex_kernel(genome, readbuf, pk, params, Wp: int, Hp: int,
 
     if impl == "pallas":
         from .pallas_kernels import convex_fill, convex_backtrack
-        TpP = ((Tp + K - 1) // K) * K
+        # backtrack always runs K=128 blocks (2D lane constraint); pad Tp
+        # to a common multiple of the fill K (a power of two <= 256) and 128
+        KP = max(K, 128)
+        TpP = ((Tp + KP - 1) // KP) * KP
         padT = TpP - Tp
         ymin_p = jnp.pad(ymin, ((0, 0), (0, padT)), mode="edge")
         ymax_p = jnp.pad(ymax, ((0, 0), (0, padT)), constant_values=-1)
@@ -547,11 +617,12 @@ def _convex_kernel(genome, readbuf, pk, params, Wp: int, Hp: int,
             qry_i, jnp.clip(2 * L - 1 + ymin_p, 0, Hp + 2 * L - 1), axis=1)
         params8 = jnp.concatenate([params.astype(jnp.float32),
                                    jnp.zeros(2, jnp.float32)])
-        dirs, best, by, bx = convex_fill(params8, qry_i, ymin_p, ymax_p,
+        dirs, best, by, bx = convex_fill(params8, qry_i[:, L:2 * L],
+                                         ymin_p, ymax_p,
                                          d1p, d2p, rcpatch, qcpatch, L, K, BT)
         ops_i, sx, sy, state = convex_backtrack(
             dirs, ymin_p, bx, by, mode[:, None], ci[:, None],
-            width[:, None], pf.astype(jnp.float32), L, K, BT)
+            width[:, None], pf.astype(jnp.float32), L, KP, BT)
         ok = (state[:, 0] == 1).astype(jnp.int32)   # DONE
         scalars = jnp.stack([
             jax.lax.bitcast_convert_type(best[:, 0], jnp.int32),

@@ -83,7 +83,7 @@ def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
         r1_ref[:] = jnp.zeros((BT, L), jnp.int32)
         s2_ref[:] = jnp.zeros((BT, L), jnp.float32)
         rc_ref[:] = jnp.zeros((BT, L), jnp.int32)
-        qc_ref[:] = qry_ref[:, L:2 * L]   # window qry[0:L] (ymin = 0)
+        qc_ref[:] = qry_ref[:]            # window qry[0:L] (ymin = 0)
         bb_ref[:] = jnp.full((BT, L), -1.0, jnp.float32)
         bby_ref[:] = jnp.zeros((BT, L), jnp.int32)
         bbx_ref[:] = jnp.zeros((BT, L), jnp.int32)
@@ -232,15 +232,15 @@ def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
         bx_ref[:] = x_min
 
 
-def convex_fill(params, qry_pad, ymin, ymax, d1, d2, rcpatch, qcpatch,
+def convex_fill(params, qry0, ymin, ymax, d1, d2, rcpatch, qcpatch,
                 L: int, K: int = 256, BT: int = 8):
-    """params f32 [8]; qry_pad i32 [B, HL] (HL = Hp + 2L, L zeros each
-    side); ymin/ymax/d1/d2/rcpatch/qcpatch i32 [B, TpP] (TpP multiple of K);
+    """params f32 [8]; qry0 i32 [B, L] = first L query codes (the t=0
+    incremental window; the rest of the query enters via qcpatch);
+    ymin/ymax/d1/d2/rcpatch/qcpatch i32 [B, TpP] (TpP multiple of K);
     d1[t]=ymin[t]-ymin[t-1] with ymin[-1]:=0, d2 likewise over two steps.
     Returns (dirs u8 [B, TpP, L], best f32 [B,1], by i32 [B,1],
     bx i32 [B,1])."""
     B, TpP = ymin.shape
-    HL = qry_pad.shape[1]
     nB = B // BT
     nT = TpP // K
     grid = (nB, nT)
@@ -276,7 +276,7 @@ def convex_fill(params, qry_pad, ymin, ymax, d1, d2, rcpatch, qcpatch,
             pl.BlockSpec((1, 8), lambda b, t: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # full activity table
-            b_spec(HL),
+            b_spec(L),
             pl.BlockSpec((K, sw), lambda b, t: (t, b),
                          memory_space=pltpu.VMEM),
         ],
@@ -303,7 +303,7 @@ def convex_fill(params, qry_pad, ymin, ymax, d1, d2, rcpatch, qcpatch,
             pltpu.VMEM((BT, L), jnp.int32),
             pltpu.VMEM((BT, K, L), jnp.int32),
         ],
-    )(params.reshape(1, 8), active, qry_pad, scal)
+    )(params.reshape(1, 8), active, qry0, scal)
     return out
 
 

@@ -39,10 +39,13 @@ class WaveBatcher:
         self._pending_score: List = []    # (problems, event)
         self._n_active = 0
         self._n_blocked = 0
+        self._wait_s = 0.0                # total worker time blocked on waves
 
     # -- worker side -------------------------------------------------------
 
     def align(self, problem: AlignProblem, params) -> AlignProblem:
+        import time
+        t0 = time.perf_counter()
         ev = threading.Event()
         with self._lock:
             self._pending_align.append((problem, tuple(params), ev))
@@ -51,12 +54,15 @@ class WaveBatcher:
         ev.wait()
         with self._lock:
             self._n_blocked -= 1
+            self._wait_s += time.perf_counter() - t0
         return problem
 
     def score(self, problems: Sequence[ScoreProblem]) -> None:
         """Blocks until every problem's .result is filled."""
         if not problems:
             return
+        import time
+        t0 = time.perf_counter()
         ev = threading.Event()
         with self._lock:
             self._pending_score.append((list(problems), ev))
@@ -65,6 +71,7 @@ class WaveBatcher:
         ev.wait()
         with self._lock:
             self._n_blocked -= 1
+            self._wait_s += time.perf_counter() - t0
 
     # -- coordinator -------------------------------------------------------
 
@@ -76,7 +83,10 @@ class WaveBatcher:
         queue = list(enumerate(jobs))
         threads: List[threading.Thread] = []
 
+        import time as _time
+
         def work(idx, job):
+            t0 = _time.perf_counter()
             try:
                 results[idx] = job()
             except BaseException as e:      # propagate after join
@@ -84,6 +94,9 @@ class WaveBatcher:
             finally:
                 with self._lock:
                     self._n_active -= 1
+                    self.ctx.stats["job_wall_s"] = (
+                        self.ctx.stats.get("job_wall_s", 0.0)
+                        + _time.perf_counter() - t0)
                     self._lock.notify_all()
 
         with self._lock:
@@ -128,6 +141,8 @@ class WaveBatcher:
 
         for t in threads:
             t.join()
+        self.ctx.stats["job_block_s"] = (
+            self.ctx.stats.get("job_block_s", 0.0) + self._wait_s)
         for i, e in enumerate(errors):
             if e is not None:
                 if os.environ.get("NGMLR_TPU_STRICT"):

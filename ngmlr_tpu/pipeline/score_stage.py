@@ -53,33 +53,53 @@ def score_read_batch(ref: ReferenceGenome, cfg: Config,
     qry_max_len = rpl + 10
     ref_max_len = ((qry_max_len + corridor) | 1) + 1   # ScoreBuffer.h:72
 
-    problems: List[ScoreProblem] = []
-    owners: List[tuple] = []
-    empty_ref = RefDesc(0, 0, 0, 0)   # out-of-range window -> scores 0
-
+    # one packed int32 [P, 7] array for the whole batch (the descriptor
+    # math is decode_window_desc vectorized; reference.py:222-236)
+    loc_chunks: List[np.ndarray] = []
+    rev_chunks: List[np.ndarray] = []
+    qstart_chunks: List[int] = []
+    qlen_chunks: List[int] = []
+    counts: List[int] = []
     for ri, (read, subs) in enumerate(zip(reads, candidates_per_read)):
         for j, cand in enumerate(subs):
-            if len(cand.locations) == 0:
+            n = len(cand.locations)
+            if n == 0:
                 continue
-            sub_len = len(read.subread_seq(j, rpl))
-            for k in range(len(cand.locations)):
-                loc = int(cand.locations[k])
-                desc = ref.decode_window_desc(loc - (corridor >> 1), ref_max_len)
-                if desc is None:
-                    desc = empty_ref
-                view = SeqView(read, j * rpl, sub_len, bool(cand.reverse[k]))
-                problems.append(ScoreProblem(desc, view.desc()))
-                owners.append((ri, j, k))
+            loc_chunks.append(cand.locations)
+            rev_chunks.append(cand.reverse)
+            qstart_chunks.append(read.buf_offset + j * rpl)
+            qlen_chunks.append(len(read.subread_seq(j, rpl)))
+            counts.append(n)
 
-    if problems:
-        device_engine.current().score_wave(problems, readbuf=readbuf)
-
-    # scatter back
-    score_map = {}
-    for (owner, p) in zip(owners, problems):
-        score_map.setdefault(owner[:2], {})[owner[2]] = float(p.result)
+    all_scores = np.zeros(0, np.float32)
+    if counts:
+        counts_a = np.asarray(counts, dtype=np.int64)
+        locs = np.concatenate(loc_chunks)
+        revs = np.concatenate(rev_chunks)
+        qstarts = np.repeat(np.asarray(qstart_chunks, np.int64), counts_a)
+        qlens = np.repeat(np.asarray(qlen_chunks, np.int64), counts_a)
+        P = len(locs)
+        pos = locs - (corridor >> 1)
+        length = np.int64(ref_max_len - 2)
+        valid = (pos >= 0) & (pos < ref.concat_len)
+        end = np.maximum(pos + length - ref.concat_len, 0)
+        ln = length - end
+        d = (pos & 1) + 2 * ((ln + 1) // 2)
+        hi = np.minimum(pos + d, len(ref.codes))
+        W = (hi - pos) + end
+        pk = np.zeros((P, 7), dtype=np.int32)
+        pku = pk.view(np.uint32)
+        pku[:, 0] = np.where(valid, pos, 0).astype(np.uint32)
+        pku[:, 1] = np.where(valid, hi, 0).astype(np.uint32)
+        pk[:, 3] = np.where(valid, W, 0).astype(np.int32)
+        pk[:, 4] = qstarts.astype(np.int32)
+        pk[:, 5] = qlens.astype(np.int32)
+        pk[:, 6] = revs.astype(np.int32)
+        all_scores = device_engine.current().score_wave_np(pk, readbuf=readbuf)
+        bounds = np.concatenate([[0], np.cumsum(counts_a)])
 
     out: List[List[ScoredSubread]] = []
+    ci = 0
     for ri, (read, subs) in enumerate(zip(reads, candidates_per_read)):
         scored: List[ScoredSubread] = []
         for j, cand in enumerate(subs):
@@ -89,8 +109,8 @@ def score_read_batch(ref: ReferenceGenome, cfg: Config,
                                             cand.reverse,
                                             np.zeros(0, np.float32), 0))
                 continue
-            svals = np.asarray([score_map[(ri, j)][k] for k in range(n)],
-                               dtype=np.float32)
+            svals = all_scores[bounds[ci]:bounds[ci + 1]]
+            ci += 1
             # std::sort desc incl. introsort tie order (ScoreBuffer.cpp:173)
             from ..native import std_sort_perm
             order = std_sort_perm(svals, desc=True)

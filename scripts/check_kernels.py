@@ -91,6 +91,38 @@ def main():
         print(f"trial {trial} score: {'OK' if ok else 'MISMATCH'}")
         failures += not ok
 
+    # wide-corridor shapes: fill runs shrunken K (3D blocks), backtrack
+    # K=128 — the retry-multiplier / realign path
+    for L, K in ((1536, 128), (2560, 64)):
+        B, Wp, Hp = 8, 4096, 3072
+        pk = np.zeros((B, 12), np.int32)
+        pku = pk.view(np.uint32)
+        pkf = pk.view(np.float32)
+        for b in range(B):
+            W = int(rng.integers(2000, 4000))
+            H = int(rng.integers(1000, 3000))
+            ds = int(rng.integers(0, G - W - 1))
+            qs = int(rng.integers(0, (1 << 15) - H - 1))
+            width = int(rng.integers(L - 200, L - 3))
+            pku[b, 0], pku[b, 1] = ds, ds + W
+            pk[b, 2:10] = (0, W, qs, H, b & 1, de.CORRIDOR_ENDPOINTS, 0, width)
+            pkf[b, 10:12] = (float(np.float32(H) / np.float32(W)),
+                             float(np.float32(width) / np.float32(2.0)))
+        args = (genome, readbuf, jnp.asarray(pk), params)
+        o_scan = de._convex_kernel(*args, Wp=Wp, Hp=Hp, L=L, impl="scan")
+        o_pal = de._convex_kernel(*args, Wp=Wp, Hp=Hp, L=L,
+                                  impl="pallas", K=K, BT=8)
+        ss, sp = np.asarray(o_scan[1]), np.asarray(o_pal[1])
+        ok_scalars = bool((ss == sp).all())
+        pks_, pkp = np.asarray(o_scan[0]), np.asarray(o_pal[0])
+        n = min(pks_.shape[1], pkp.shape[1])
+        ok_ops = bool((pks_[:, :n] == pkp[:, :n]).all()
+                      and (pkp[:, n:] == 0).all())
+        status = "OK" if (ok_scalars and ok_ops) else "MISMATCH"
+        print(f"wide L={L} K={K}: scalars={ok_scalars} ops={ok_ops} "
+              f"-> {status}")
+        failures += not (ok_scalars and ok_ops)
+
     print(f"failures: {failures}")
     return 1 if failures else 0
 
