@@ -178,17 +178,21 @@ def align_banded(ref_win: RefWin, qry_view: SeqView, corridor: Corridor,
     if qry_view.length == 0 or ref_win.W == 0:
         return None
     if dbg6 is not None:
-        # SingleAlign header + per-row corridor dump (ConvexAlignFast.cpp
-        # :474-476, :634-638)
+        # SingleAlign header (ConvexAlignFast.cpp:474-476). The per-row
+        # corridor dump (:634-638) lives only in the SCALAR fwdFillMatrix —
+        # the shipped SSE path doesn't print it — so it appears only under
+        # --nosse, exactly like the reference.
+        import os
         import sys
         aid, rid = dbg6
         w = sys.stdout.write
         w("%d\t%d\t%d\t%d\t%d\n" % (aid, rid, ref_win.W, qry_view.length, -1))
-        offs = materialize_offsets(corridor, qry_view.length)
-        for y in range(qry_view.length):
-            o = int(offs[y])
-            w("%d\t%d\t%d\t%d\t%d\n" % (aid, rid, o, y, 0))
-            w("%d\t%d\t%d\t%d\t%d\n" % (aid, rid, o + corridor.width, y, 1))
+        if os.environ.get("NGMLR_TPU_NO_PALLAS"):
+            offs = materialize_offsets(corridor, qry_view.length)
+            for y in range(qry_view.length):
+                o = int(offs[y])
+                w("%d\t%d\t%d\t%d\t%d\n" % (aid, rid, o, y, 0))
+                w("%d\t%d\t%d\t%d\t%d\n" % (aid, rid, o + corridor.width, y, 1))
     problem = AlignProblem(ref_win.desc, qry_view.desc(), corridor.mode,
                            corridor.cf, corridor.ci, corridor.width)
     from ..pipeline import batcher as _batcher

@@ -97,8 +97,13 @@ def linreg(xs: List[float], ys: List[float]) -> Tuple[float, float, float]:
 def get_intervals_from_anchors(anchors: List[Anchor], read_length: int,
                                max_segment_count: int,
                                max_clis_runs: int = 100,
-                               read_part_length: int = 256) -> List[Interval]:
-    """getIntervalsFromAnchors (AlignmentBuffer.cpp:876-1115)."""
+                               read_part_length: int = 256,
+                               dump_read=None) -> List[Interval]:
+    """getIntervalsFromAnchors (AlignmentBuffer.cpp:876-1115).
+
+    dump_read: when --stdout 1 is active, the Read whose cLIS-chain anchors
+    (DP_TYPE_CLIS, AlignmentBuffer.cpp:1003-1021) and new segments
+    (DP_TYPE_SEQMENTS, :1075-1082) are dumped."""
     from ..native import std_sort_perm
     # std::sort semantics incl. introsort tie order (AlignmentBuffer.cpp:881)
     order = std_sort_perm(np.asarray([a.on_read for a in anchors],
@@ -158,6 +163,22 @@ def get_intervals_from_anchors(anchors: List[Anchor], read_length: int,
             reg_x.append(float(a.on_ref + read_part_length if is_reverse else a.on_ref))
 
         if is_unique:
+            if dump_read is not None:
+                # DP_TYPE_CLIS + pre-increment run number (cpp:1003-1021)
+                from ..pipeline.longread import _dot_plot_line
+                for a in picked:
+                    if a.is_reverse:
+                        _dot_plot_line(dump_read, a.on_read,
+                                       a.on_read + read_part_length,
+                                       a.on_ref + read_part_length, a.on_ref,
+                                       a.score, a.is_reverse,
+                                       1 + clis_run_number, 0)
+                    else:
+                        _dot_plot_line(dump_read, a.on_read,
+                                       a.on_read + read_part_length,
+                                       a.on_ref, a.on_ref + read_part_length,
+                                       a.score, a.is_reverse,
+                                       1 + clis_run_number, 0)
             if len(reg_x) == 1:
                 reg_x = [float(min_on_ref), float(max_on_ref)]
                 reg_y = [float(min_on_read), float(max_on_read)]
@@ -175,6 +196,12 @@ def get_intervals_from_anchors(anchors: List[Anchor], read_length: int,
             if iv.length_on_read() > 0 and iv.length_on_ref() > 0:
                 intervals.append(iv)
             clis_run_number += 1
+            if dump_read is not None:
+                # DP_TYPE_SEQMENTS + post-increment run number (cpp:1075)
+                from ..pipeline.longread import _dot_plot_line
+                _dot_plot_line(dump_read, iv.on_read_start, iv.on_read_stop,
+                               iv.on_ref_start, iv.on_ref_stop, iv.score,
+                               iv.is_reverse, 200 + clis_run_number, 0)
 
         pool = remaining
     return intervals

@@ -88,10 +88,25 @@ class SeqView:
 
 
 def read_stream(path: str, start_id: int = 0) -> Iterator[Read]:
-    rid = start_id
+    """Read ids replicate _NGM::GetNextReadBatch (NGM.cpp:190-246): each
+    intake batch of 10 non-empty reads passes ids m_CurStart + i*idJump
+    where i counts ALL parse attempts in the batch (empty records included)
+    and m_CurStart grows by the non-empty count — so ids are NOT globally
+    monotonic. SAM output never shows them, but the --stdout debug dumps
+    do, and byte-parity requires the same numbers."""
+    cur_start = start_id
+    i_in_batch = 0
+    count_in_batch = 0
     for rec in parse_fastx(path):
+        rid = cur_start + i_in_batch * ID_JUMP
         yield Read(rid, rec.name, rec.seq, rec.qual, empty=rec.empty)
-        rid += ID_JUMP
+        i_in_batch += 1
+        if not rec.empty:
+            count_in_batch += 1
+            if count_in_batch == 10:      # cBatchSize (CS.cpp:34)
+                cur_start += count_in_batch
+                i_in_batch = 0
+                count_in_batch = 0
 
 
 def read_batches(path: str, batch_reads: int, shard: int = 0,

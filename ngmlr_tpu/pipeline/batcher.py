@@ -87,6 +87,7 @@ class WaveBatcher:
 
         def work(idx, job):
             t0 = _time.perf_counter()
+            _tls.batcher = self
             try:
                 results[idx] = job()
             except BaseException as e:      # propagate after join
@@ -184,7 +185,11 @@ class WaveBatcher:
             ev.set()
 
 
-# Active batcher (None = run single requests synchronously)
+# Active batcher. Worker threads carry their batcher in thread-local state
+# (two batches' waves may be in flight concurrently — the runner overlaps
+# batch N's straggler waves with batch N+1's bulk wave); the module global
+# remains as a fallback for single-batcher callers and tests.
+_tls = threading.local()
 _current: Optional[WaveBatcher] = None
 
 
@@ -193,5 +198,10 @@ def set_current(b: Optional[WaveBatcher]):
     _current = b
 
 
+def set_thread_batcher(b: Optional[WaveBatcher]):
+    _tls.batcher = b
+
+
 def current() -> Optional[WaveBatcher]:
-    return _current
+    b = getattr(_tls, "batcher", None)
+    return b if b is not None else _current

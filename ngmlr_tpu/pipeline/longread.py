@@ -38,8 +38,9 @@ SV_NONE, SV_INVERSION, SV_TRANSLOCATION, SV_UNKNOWN = 0, 1, 2, 3
 # stdout debug dump machinery (AlignmentBuffer.h:91-103, printDotPlotLine
 # AlignmentBuffer.cpp:467-476; R visualization per the reference README)
 DP_TYPE_UNFILTERED, DP_TYPE_CLIS = 0, 1
-DP_TYPE_SEQMENTS, DP_TYPE_SEQMENTS_CONS, DP_TYPE_RESULT = 200, 400, 600
-DP_STATUS_OK, DP_STATUS_NOHIT = 0, 2
+DP_TYPE_SEQMENTS, DP_TYPE_SEQMENTS_CONS = 200, 400
+DP_TYPE_RESULT, DP_TYPE_RESULT_CONS = 600, 800
+DP_STATUS_OK, DP_STATUS_NOHIT, DP_STATUS_LOWSCORE = 0, 2, 3
 
 
 def _dot_plot_line(read, a, b, c, d, score, rev, type_, status):
@@ -469,6 +470,10 @@ class LongReadProcessor:
             for i in range(n_use):
                 w("%s\t%d\t%d\t%s\n" % (dbg_name, dbg_loc + int(nmp[i, 1]),
                                         int(nmp[i, 2]), rn))
+            # the reference prints ALL alignmentLength entries; the tail
+            # beyond the filled count is its zero-initialized buffer
+            for i in range(n_use, n_rows):
+                w("%s\t%d\t0\t%s\n" % (dbg_name, dbg_loc, rn))
         inv_rows = np.nonzero((nm_count >= 9) & (nm_count <= 31))[0]
         if len(inv_rows) == 0:
             return SV_NONE, None, None
@@ -708,19 +713,21 @@ class LongReadProcessor:
                                       unique))
                 if dump:   # AlignmentBuffer.cpp:2975-2990
                     loc = int(sub.locations[k])
+                    st = DP_STATUS_OK if unique else DP_STATUS_LOWSCORE
                     if sub.reverse[k]:
                         _dot_plot_line(read, sub.on_read, sub.on_read + rpl,
                                        loc + rpl, loc, float(sub.scores[k]),
-                                       1, DP_TYPE_UNFILTERED, DP_STATUS_OK)
+                                       1, DP_TYPE_UNFILTERED, st)
                     else:
                         _dot_plot_line(read, sub.on_read, sub.on_read + rpl,
                                        loc, loc + rpl, float(sub.scores[k]),
-                                       0, DP_TYPE_UNFILTERED, DP_STATUS_OK)
+                                       0, DP_TYPE_UNFILTERED, st)
 
         max_segment_count = max(10, cfg.max_segments_for(read.length) * 2)
         intervals = get_intervals_from_anchors(anchors, read.length,
                                                max_segment_count,
-                                               cfg.max_clis_runs, rpl)
+                                               cfg.max_clis_runs, rpl,
+                                               dump_read=read if dump else None)
         intervals = _std_sorted(intervals, lambda iv: iv.on_read_start)
 
         # --- segment building (AlignmentBuffer.cpp:3039-3096) -------------
@@ -888,7 +895,9 @@ class LongReadProcessor:
                     seg.on_read_stop, 1 if rec.reverse else 0,
                     rec.align.mq, rec.align.score))
             if cfg.stdout_mode == 1:   # results (AlignmentBuffer.cpp:2155-2170)
-                if not rec.reverse:
+                # NOTE: the swap keys on the FIRST record's strand
+                # (readIsReverse, :2099), not this segment's
+                if not records[0].reverse:
                     _dot_plot_line(read, seg.on_read_start, seg.on_read_stop,
                                    seg.on_ref_start, seg.on_ref_stop,
                                    seg.score, seg.is_reverse,
@@ -949,6 +958,22 @@ class LongReadProcessor:
                 if aligned > 0.95:
                     records[segs[i].id].align.sv_type |= 0x2
                 segment_count += 1
+                if cfg.stdout_mode == 1:   # AlignmentBuffer.cpp:2272-2289
+                    seg = segs[i]
+                    if not records[0].reverse:
+                        _dot_plot_line(read, seg.on_read_start,
+                                       seg.on_read_stop, seg.on_ref_start,
+                                       seg.on_ref_stop, seg.score,
+                                       seg.is_reverse,
+                                       DP_TYPE_RESULT_CONS + seg.id,
+                                       DP_STATUS_OK)
+                    else:
+                        _dot_plot_line(read, seg.on_read_stop,
+                                       seg.on_read_start, seg.on_ref_start,
+                                       seg.on_ref_stop, seg.score,
+                                       seg.is_reverse,
+                                       DP_TYPE_RESULT_CONS + seg.id,
+                                       DP_STATUS_OK)
 
         max_splits = cfg.max_segments_for(read.length)
         return mapped and (segment_count - 1) <= max_splits

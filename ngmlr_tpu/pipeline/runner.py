@@ -55,34 +55,55 @@ class Pipeline:
 
     def run(self, query_path: str, out: IO[bytes], progress: bool = False,
             shard: int = 0, n_shards: int = 1):
-        """Pipelined intake: batch N+1's candidate search + subread scoring
-        (host numpy + device score wave) runs in a background thread while
-        batch N's alignment waves execute — both sides spend most time
-        blocked in device fetches, which release the GIL."""
+        """Two-level pipelined intake:
+
+          * batch N+1's candidate search + subread scoring (host numpy +
+            device score wave) runs in a background prep thread while
+            earlier batches' alignment waves execute,
+          * NGMLR_TPU_WAVE_DEPTH=2 lets TWO batches' alignment waves fly
+            concurrently, so the long tail of straggler waves (retries, SV
+            realigns of a few reads) of batch N overlaps batch N+1's bulk
+            wave. On the 1-core target host this measured 28% SLOWER (GIL
+            thrash starves the prep thread), so the default is 1; it is a
+            real win only with spare host cores. SAM emission stays
+            strictly in batch order on this thread either way.
+
+        Debug-dump modes force depth 1 so stdout stays in the reference's
+        single-threaded order."""
+        import os
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
         writer = SamWriter(self.ref, self.cfg, out)
         writer.write_prolog()
         t0 = time.time()
         self._read_bp = 0
+        depth = int(os.environ.get("NGMLR_TPU_WAVE_DEPTH", "1"))
+        if self.cfg.stdout_mode:
+            depth = 1
         batches = read_batches(query_path, self.cfg.batch_reads,
                                shard=shard, n_shards=n_shards)
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            fut = None
+        with ThreadPoolExecutor(max_workers=1) as prep_pool, \
+                ThreadPoolExecutor(max_workers=depth) as wave_pool:
+            inflight = deque()   # (batch, prep, outcomes-future)
             nxt = next(batches, None)
-            while nxt is not None:
-                cur_prep = (fut.result() if fut is not None
-                            else self._prepare_batch(nxt))
-                cur_batch = nxt
-                nxt = next(batches, None)
-                fut = (pool.submit(self._prepare_batch, nxt)
-                       if nxt is not None else None)
-                self._read_bp += sum(len(r.seq) for r in cur_batch
-                                     if not r.empty)
-                tw = time.perf_counter()
-                self._run_waves(cur_batch, cur_prep, writer)
-                self.ctx.stats["waves_wall_s"] = (
-                    self.ctx.stats.get("waves_wall_s", 0.0)
-                    + time.perf_counter() - tw)
+            prep_fut = (prep_pool.submit(self._prepare_batch, nxt)
+                        if nxt is not None else None)
+            while nxt is not None or inflight:
+                if nxt is not None and len(inflight) < depth:
+                    prep = prep_fut.result()
+                    cur = nxt
+                    nxt = next(batches, None)
+                    prep_fut = (prep_pool.submit(self._prepare_batch, nxt)
+                                if nxt is not None else None)
+                    self._read_bp += sum(len(r.seq) for r in cur
+                                         if not r.empty)
+                    inflight.append(
+                        (cur, prep,
+                         wave_pool.submit(self._compute_waves, cur, prep)))
+                    continue
+                batch, prep, fut = inflight.popleft()
+                outcomes, job_key = fut.result()
+                self._emit(batch, prep, outcomes, job_key, writer)
                 if progress:
                     self._progress_line(t0)
         return self.stats
@@ -173,9 +194,9 @@ class Pipeline:
             + time.perf_counter() - tp)
         return readbuf, per_read_short, scored_by_ri
 
-    def _run_waves(self, batch: List[Read], prep, writer: SamWriter):
-        """Stage 2 of a batch: per-read jobs with wave-batched alignments,
-        then SAM emission in the reference's order."""
+    def _compute_waves(self, batch: List[Read], prep):
+        """Stage 2 of a batch: per-read jobs with wave-batched alignments.
+        Runs in a wave-pool thread; up to two batches concurrently."""
         cfg = self.cfg
         readbuf, per_read_short, scored_by_ri = prep
         from . import batcher as _batcher
@@ -201,10 +222,11 @@ class Pipeline:
                 jobs.append(make_long_job(read, scored_by_ri[ri]))
 
         import os
-        if os.environ.get("NGMLR_TPU_SYNC"):
-            # profiling/debug mode: run jobs serially in this thread (every
-            # device request becomes its own wave) so cProfile sees the
-            # whole per-read host path
+        tw = time.perf_counter()
+        if os.environ.get("NGMLR_TPU_SYNC") or self.cfg.stdout_mode:
+            # profiling mode — and all --stdout debug modes: jobs run
+            # serially in this thread so the dump order matches the
+            # reference's single-threaded (-t 1) output exactly
             self.ctx.readbuf = readbuf
             outcomes = []
             for job in jobs:
@@ -217,14 +239,17 @@ class Pipeline:
                     outcomes.append(None)
         else:
             wb = _batcher.WaveBatcher(self.ctx, readbuf=readbuf)
-            _batcher.set_current(wb)
-            try:
-                outcomes = wb.map_jobs(jobs)
-            finally:
-                _batcher.set_current(None)
+            outcomes = wb.map_jobs(jobs)
+        self.ctx.stats["waves_wall_s"] = (
+            self.ctx.stats.get("waves_wall_s", 0.0)
+            + time.perf_counter() - tw)
+        return outcomes, job_key
 
-        # --- emit in reference order (shorts first per intake group of 10,
-        #     then longs; NGM.cpp:190-246 + CS.cpp:276-318) ----------------
+    def _emit(self, batch: List[Read], prep, outcomes, job_key,
+              writer: SamWriter):
+        """Emit in reference order (shorts first per intake group of 10,
+        then longs; NGM.cpp:190-246 + CS.cpp:276-318)."""
+        readbuf, per_read_short, scored_by_ri = prep
         te = time.perf_counter()
         for g0 in range(0, len(batch), INTAKE_GROUP):
             group = list(range(g0, min(g0 + INTAKE_GROUP, len(batch))))

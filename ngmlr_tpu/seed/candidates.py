@@ -115,13 +115,27 @@ def search_batch(index: KmerIndex, seqs: List[bytes], sensitivity: float = 0.8,
                              np.ones(len(rev[0]), np.int8)])
 
     # global vote order: (subread, k-mer emission, fwd-before-rev, bucket pos)
-    vote_order = np.lexsort((within, strand, emit_all, sub_all))
+    # — packed single-key stable argsort (radix) instead of a 4-key lexsort
+    sb = max(int(sub_all.max()) if len(sub_all) else 0, 1).bit_length()
+    eb = max(int(emit_all.max()) if len(emit_all) else 0, 1).bit_length()
+    wb = max(int(within.max()) if len(within) else 0, 1).bit_length()
+    bb = max(int(bins_all.max()) if len(bins_all) else 0, 1).bit_length()
+    if sb + eb + wb + 1 < 63 and sb + bb + 1 < 63:
+        vote_key = ((((sub_all << eb) | emit_all) << 1
+                     | strand.astype(np.int64)) << wb) | within
+        vote_order = np.argsort(vote_key, kind="stable")
+    else:
+        vote_order = np.lexsort((within, strand, emit_all, sub_all))
     v_sub = sub_all[vote_order]
     v_bin = bins_all[vote_order]
     v_str = strand[vote_order]
 
     # --- per-(subread,bin,strand) running counts ---------------------------
-    grp_sort = np.lexsort((np.arange(len(v_sub)), v_str, v_bin, v_sub))
+    if sb + eb + wb + 1 < 63 and sb + bb + 1 < 63:
+        grp_key = (((v_sub << bb) | v_bin) << 1) | v_str.astype(np.int64)
+        grp_sort = np.argsort(grp_key, kind="stable")
+    else:
+        grp_sort = np.lexsort((np.arange(len(v_sub)), v_str, v_bin, v_sub))
     g_sub = v_sub[grp_sort]
     g_bin = v_bin[grp_sort]
     g_str = v_str[grp_sort]
