@@ -144,6 +144,8 @@ def main():
                 target.write(read[j:j + 80] + b"\n")
 
     cfg = Config()
+    if os.environ.get("BENCH_BATCH_READS"):
+        cfg.batch_reads = int(os.environ["BENCH_BATCH_READS"])
     pipeline = Pipeline(cfg, ref_path, use_cache=True)
 
     # warmup: trigger kernel compiles/traces — once on the spread of warmup
