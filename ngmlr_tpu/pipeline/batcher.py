@@ -73,6 +73,50 @@ class WaveBatcher:
             self._n_blocked -= 1
             self._wait_s += time.perf_counter() - t0
 
+    def corun(self, thunks):
+        """Run independent thunks concurrently as temporary workers of this
+        batcher (their device requests coalesce into the same waves as
+        everyone else's). The caller registers as wave-blocked while
+        waiting, so the coordinator can still fire. Returns a list of
+        (result, exception) pairs — the caller decides which errors matter
+        (e.g. the reference would never have evaluated a later alignment
+        if an earlier one failed its checks)."""
+        n = len(thunks)
+        if n == 1:
+            try:
+                return [(thunks[0](), None)]
+            except BaseException as e:
+                return [(None, e)]
+        results = [None] * n
+        errors = [None] * n
+        done = threading.Event()
+        remaining = [n]
+
+        def sub(i, t):
+            _tls.batcher = self
+            try:
+                results[i] = t()
+            except BaseException as e:
+                errors[i] = e
+            finally:
+                with self._lock:
+                    self._n_active -= 1
+                    remaining[0] -= 1
+                    if remaining[0] == 0:
+                        done.set()
+                    self._lock.notify_all()
+
+        with self._lock:
+            self._n_active += n
+            for i, t in enumerate(thunks):
+                threading.Thread(target=sub, args=(i, t), daemon=True).start()
+            self._n_blocked += 1
+            self._lock.notify_all()
+        done.wait()
+        with self._lock:
+            self._n_blocked -= 1
+        return list(zip(results, errors))
+
     # -- coordinator -------------------------------------------------------
 
     def map_jobs(self, jobs: List[Callable[[], object]]) -> List[object]:

@@ -555,14 +555,41 @@ class LongReadProcessor:
                    right_of_inv: Interval, read: Read, records: List[AlignmentRecord],
                    mq: int) -> int:
         """realign (AlignmentBuffer.cpp:1551-1776). Appends records on success."""
-        read_seq_len = left_of_inv.on_read_stop - left_of_inv.on_read_start
-        align_left = self.align_interval(
-            read, left_of_inv,
-            self.extract_read_seq(read, left_of_inv.on_read_start, read_seq_len,
-                                  left_of_inv.is_reverse),
-            realign=True, full_alignment=False)
+        # the left/right re-alignments are independent — run them as one
+        # wave instead of two sequential ones (reference computes them
+        # back-to-back, AlignmentBuffer.cpp:1575-1650; results identical)
+        def _aln(iv_part):
+            seq_len = iv_part.on_read_stop - iv_part.on_read_start
+            return self.align_interval(
+                read, iv_part,
+                self.extract_read_seq(read, iv_part.on_read_start, seq_len,
+                                      iv_part.is_reverse),
+                realign=True, full_alignment=False)
+
+        from . import batcher as _batcher
+        wb = _batcher.current()
+        if wb is not None:
+            (align_left, err_l), (align_right, err_r) = wb.corun(
+                [lambda: _aln(left_of_inv), lambda: _aln(right_of_inv)])
+        else:
+            align_left, err_l = None, None
+            align_right, err_r = None, None
+            try:
+                align_left = _aln(left_of_inv)
+            except BaseException as e:
+                err_l = e
+            if align_left is not None and align_left.score > 0.0:
+                try:
+                    align_right = _aln(right_of_inv)
+                except BaseException as e:
+                    err_r = e
+        if err_l is not None:
+            raise err_l
         if align_left is None or align_left.score <= 0.0:
-            return SV_NONE
+            return SV_NONE   # right-side outcome (even an error) is moot:
+            # the reference never evaluates it past a failed left
+        if err_r is not None:
+            raise err_r
         align_left.mq = mq
         loc_left = left_of_inv.on_ref_start + align_left.position_offset
 
@@ -571,12 +598,6 @@ class LongReadProcessor:
         inv.on_ref_start = loc_left + align_left.last_ref_pos
         inv.is_reverse = not left_of_inv.is_reverse
 
-        read_seq_len = right_of_inv.on_read_stop - right_of_inv.on_read_start
-        align_right = self.align_interval(
-            read, right_of_inv,
-            self.extract_read_seq(read, right_of_inv.on_read_start, read_seq_len,
-                                  right_of_inv.is_reverse),
-            realign=True, full_alignment=False)
         if align_right is None or align_right.score <= 0.0:
             return SV_NONE
         align_right.mq = mq
@@ -595,16 +616,25 @@ class LongReadProcessor:
         loc_inv = 0
         if inversion_length > self.cfg.min_inversion_length:
             read_seq_len = inv.on_read_stop - inv.on_read_start
-            align_inv = self.align_interval(
-                read, inv,
-                self.extract_read_seq(read, inv.on_read_start, read_seq_len,
-                                      inv.is_reverse),
-                realign=True, full_alignment=True)
-            align_inv_rev = self.align_interval(
-                read, inv,
-                self.extract_read_seq(read, inv.on_read_start, read_seq_len,
-                                      inv.is_reverse, rev_comp=True),
-                realign=True, full_alignment=True)
+
+            def _inv_aln(rc):
+                return self.align_interval(
+                    read, inv,
+                    self.extract_read_seq(read, inv.on_read_start,
+                                          read_seq_len, inv.is_reverse,
+                                          rev_comp=rc),
+                    realign=True, full_alignment=True)
+
+            if wb is not None:
+                (align_inv, e1), (align_inv_rev, e2) = wb.corun(
+                    [lambda: _inv_aln(False), lambda: _inv_aln(True)])
+                if e1 is not None:
+                    raise e1
+                if e2 is not None:
+                    raise e2
+            else:
+                align_inv = _inv_aln(False)
+                align_inv_rev = _inv_aln(True)
             if (align_inv is not None and align_inv.score > 0.0
                     and align_inv.aligned_read_bp(read.length) > self.cfg.min_inversion_length
                     and (align_inv_rev is None or align_inv_rev.score < align_inv.score)):
