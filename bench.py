@@ -182,12 +182,16 @@ def main():
             best = (el, s0, s1, stats, c0, c1)
     elapsed, s0, s1, stats, c0, c1 = best
     if os.environ.get("BENCH_VERBOSE"):
+        import resource
+        ru = resource.getrusage(resource.RUSAGE_SELF)
         dc = [b - a for a, b in zip(c0, c1)]
         tot = max(sum(dc), 1)
         sys.stderr.write(
-            "cpu during best pass: user=%d%% sys=%d%% idle=%d%% steal=%d%%\n"
+            "cpu during best pass: user=%d%% sys=%d%% idle=%d%% steal=%d%% "
+            "(process minflt=%d majflt=%d)\n"
             % (100 * dc[0] // tot, 100 * dc[2] // tot,
-               100 * dc[3] // tot, 100 * dc[7] // tot))
+               100 * dc[3] // tot, 100 * dc[7] // tot,
+               ru.ru_minflt, ru.ru_majflt))
     if sampler is not None:
         sampler.stop_and_report()
     ds = {k: v - s0.get(k, 0) for k, v in s1.items()}

@@ -127,6 +127,7 @@ class AlignerConfig:
     score_gap_extend_min: float = -1.0
     score_gap_decay: float = 0.15
     stdout_mode: int = 0      # --stdout 6: corridor/backtrack dump
+    max_matrix_size_mb: int = 10000   # IConfig.h:47
 
     @property
     def params(self):
@@ -170,13 +171,21 @@ def _dump6_path(dbg6, problem):
 
 def align_banded(ref_win: RefWin, qry_view: SeqView, corridor: Corridor,
                  external_qstart: int, external_qend: int,
-                 params=DEFAULT_PARAMS, dbg6=None) -> Optional[Align]:
+                 params=DEFAULT_PARAMS, dbg6=None,
+                 max_matrix_mb=None) -> Optional[Align]:
     """One SingleAlign call: device fill + device backtrack + host CIGAR
     conversion. Returns None on backtrack failure (out-of-corridor path /
     no alignment); the caller checks final cigar length == full read length.
     """
     if qry_view.length == 0 or ref_win.W == 0:
         return None
+    if max_matrix_mb is not None:
+        # AlignmentMatrixFast::prepare refuses a direction matrix over
+        # maxMatrixSizeMB and SingleAlign fails, which the caller's retry
+        # loop treats like any invalid alignment (AlignmentMatrixFast.cpp
+        # :45-58). Matrix bytes = corridor cells = height x width.
+        if qry_view.length * corridor.width // 1_000_000 >= max_matrix_mb:
+            return None
     if dbg6 is not None:
         # SingleAlign header (ConvexAlignFast.cpp:474-476). The per-row
         # corridor dump (:634-638) lives only in the SCALAR fwdFillMatrix —
@@ -285,7 +294,7 @@ def compute_alignment(interval, corridor: int, qry_view: SeqView,
 
         align = align_banded(ref_win, qry_view, c,
                              external_qstart, external_qend, cfg.params,
-                             dbg6=dbg6)
+                             dbg6=dbg6, max_matrix_mb=cfg.max_matrix_size_mb)
         if align is not None and align._final_cigar_length == full_read_length:
             return align
         mult += 1

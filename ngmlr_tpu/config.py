@@ -49,6 +49,7 @@ class Config:
     score_gap_decay: float = 0.15
 
     inv_score_ratio: float = 1.0   # IConfig.h:49
+    max_matrix_size_mb: int = 10000  # IConfig.h:47 (no CLI flag upstream)
 
     # Behaviour flags (IConfig.h:57-71, ArgParser.cpp:246-255)
     low_quality_split: bool = True

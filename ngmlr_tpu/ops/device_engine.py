@@ -382,8 +382,50 @@ class DeviceContext:
             buckets.setdefault(L, []).append(i)
         pvec = self._params_vec(tuple(params))
         pending = []
+        failed: List[int] = []
+        chunks = []
+        # cap HBM held by one launch's direction planes (B x TpP x L u8);
+        # ultra-long reads split into their own launches, and a problem too
+        # big for even a solo launch fails like the reference's
+        # maxMatrixSizeMB refusal (AlignmentMatrixFast.cpp:45-58)
+        DIRS_CAP = int(os.environ.get("NGMLR_TPU_DIRS_CAP_GB", "4")) << 30
         for L, idxs in buckets.items():
             idxs.sort(key=lambda i: problems[i].T, reverse=True)
+            chunk: List[int] = []
+            for i in idxs:
+                if not chunk:
+                    p = problems[i]
+                    tpp = (_size_class(max(p.ref.W, 1), 256)
+                           + _size_class(max(p.qry.length, 1), 256))
+                    if 8 * tpp * L > DIRS_CAP:
+                        failed.append(i)
+                        continue
+                    chunk = [i]
+                    chunk_tpp = tpp
+                    continue
+                n1 = (len(chunk) + 8) // 8 * 8   # worst-case BT padding is
+                # moot: B rounds to a BT multiple and BT >= 8
+                if n1 * chunk_tpp * L > DIRS_CAP:
+                    chunks.append((L, chunk))
+                    chunk = []
+                    p = problems[i]
+                    tpp = (_size_class(max(p.ref.W, 1), 256)
+                           + _size_class(max(p.qry.length, 1), 256))
+                    if 8 * tpp * L > DIRS_CAP:
+                        failed.append(i)
+                        continue
+                    chunk = [i]
+                    chunk_tpp = tpp
+                else:
+                    chunk.append(i)
+            if chunk:
+                chunks.append((L, chunk))
+        for i in failed:
+            p = problems[i]
+            p.ok = False
+            p.score = 0.0
+            p.ops = None
+        for L, idxs in chunks:
             Wp = _size_class(max(max(problems[i].ref.W for i in idxs), 1), 256)
             Hp = _size_class(max(max(problems[i].qry.length for i in idxs), 1),
                              256)

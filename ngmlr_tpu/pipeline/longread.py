@@ -89,7 +89,8 @@ class LongReadProcessor:
         self.acfg = AlignerConfig(cfg.score_match, cfg.score_mismatch,
                                   cfg.score_gap_open, cfg.score_gap_extend_max,
                                   cfg.score_gap_extend_min, cfg.score_gap_decay,
-                                  stdout_mode=cfg.stdout_mode)
+                                  stdout_mode=cfg.stdout_mode,
+                                  max_matrix_size_mb=cfg.max_matrix_size_mb)
         self.rpl = cfg.read_part_length
 
     # ------------------------------------------------------------------
