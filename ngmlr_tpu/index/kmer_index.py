@@ -42,7 +42,7 @@ import numpy as np
 from ..io.reference import ReferenceGenome
 
 INDEX_COOKIE = 0x1701E  # PrefixTable.cpp:21
-INDEX_VERSION = 3   # v3: scale-adaptive dense/sparse representation
+INDEX_VERSION = 4   # v4: uint32 positions / int32 prefixes (build speed)
 
 
 import functools
@@ -111,43 +111,34 @@ def kmer_stream(chars: np.ndarray, k: int, stride: int) -> Tuple[np.ndarray, np.
     if n < k or k > 15:
         if k > 15:
             raise ValueError("kmer_stream supports k <= 15 (int32 prefixes)")
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    codes = ((chars >> np.uint8(1)) & np.uint8(3)).astype(np.int32)
+        return np.zeros(0, np.int32), np.zeros(0, np.int64)
     not_n = chars != ord("N")
 
-    # validity of each k-mer window: all k chars non-N
-    cs = np.empty(n + 1, dtype=np.int32)
-    cs[0] = 0
-    np.cumsum(not_n, dtype=np.int32, out=cs[1:])
-    nstarts = n - k + 1
-    win_ok = (cs[k:] - cs[:-k]) == k          # [nstarts]
+    # maximal N-free runs (the reference's segments, CSstatic.cpp:23-73):
+    # run-based generation touches only output-sized arrays — the previous
+    # window-sized formulation faulted ~25 bytes per genome base, and fresh
+    # pages cost ~30 MB/s on the target host
+    run_starts = np.nonzero(not_n[1:] & ~not_n[:-1])[0] + 1
+    run_ends = np.nonzero(~not_n[1:] & not_n[:-1])[0] + 1
+    if not_n[0]:
+        run_starts = np.concatenate([[0], run_starts])
+    if not_n[-1]:
+        run_ends = np.concatenate([run_ends, [n]])
+    lens = run_ends - run_starts
+    nw = np.maximum((lens - k) // stride + 1, 0)
+    total = int(nw.sum())
+    if total == 0:
+        return np.zeros(0, np.int32), np.zeros(0, np.int64)
+    rep_start = np.repeat(run_starts, nw)
+    off = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(nw) - nw, nw)
+    starts = rep_start + off * stride
 
-    # rolling 2-bit value (in-place: fresh large allocations fault slowly
-    # on the target sandbox — see ngmlr_tpu._tune_allocator)
-    val = np.zeros(nstarts, dtype=np.int32)
+    codes = ((chars >> np.uint8(1)) & np.uint8(3))
+    val = np.zeros(total, dtype=np.int32)
     for j in range(k):
         np.left_shift(val, 2, out=val)
-        np.bitwise_or(val, codes[j:j + nstarts], out=val)
-
-    # stride anchored at each segment's first valid window: segment id =
-    # number of N chars before the window start (constant within a segment)
-    seg_id = np.arange(nstarts, dtype=np.int32)
-    np.subtract(seg_id, cs[:nstarts], out=seg_id)
-
-    idx = np.nonzero(win_ok)[0]
-    if len(idx) == 0:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    if stride == 1:
-        starts = idx
-    else:
-        seg_of = seg_id[idx]
-        # first valid window index within each segment
-        first_new = np.ones(len(idx), dtype=bool)
-        first_new[1:] = seg_of[1:] != seg_of[:-1]
-        seg_first = np.maximum.accumulate(np.where(first_new, idx, 0))
-        keep = ((idx - seg_first) % stride) == 0
-        starts = idx[keep]
-    return val[starts].astype(np.int64), starts.astype(np.int64)
+        np.bitwise_or(val, codes[starts + j], out=val)
+    return val, starts
 
 
 class KmerIndex:
@@ -210,15 +201,27 @@ class KmerIndex:
         #    revcomp permutation table — linear passes,
         #  * sparse regime (tiny genomes): unique-prefix arithmetic only,
         #    never materializing a 4^k-sized array.
-        if len(prefixes) * 4 >= n_prefix:
-            freq = np.bincount(prefixes, minlength=n_prefix).astype(np.int32)
-            total = freq + freq[_revcomp_table(k)]
-            weight = ((max_prefix_freq - total) * 100.0
-                      / max_prefix_freq).astype(np.int8)
-            used_p = (total < max_prefix_freq) & (weight != 0)
+        # used iff total < max AND int8 weight != 0. The weight int is
+        # int((max - total) * 100.0 / max), positive here, so weight != 0
+        # <=> (max - total) * 100 >= max — pure integer arithmetic, no
+        # 4^k-sized float temporary (first-touch page faults dominate the
+        # build on the target host)
+        # used iff total < mpf AND weight != 0, where weight =
+        # int((mpf - total) * 100.0 / mpf) — for positive values that is
+        # total <= mpf - ceil(mpf / 100), a single integer comparison
+        mpf = int(max_prefix_freq)
+        thr = mpf - (mpf + 99) // 100
+        if len(prefixes) * 16 >= n_prefix:
+            # rc is a bijection, so bincount(rc(prefixes))[p] ==
+            # freq[rc(p)]: two sequential bincounts replace the 4^k-sized
+            # random gather total[revcomp_table] (67M cache misses, ~20 s)
+            total = np.bincount(prefixes, minlength=n_prefix)
+            total += np.bincount(revcomp_prefix(prefixes, k),
+                                 minlength=n_prefix)
+            used_p = total <= thr
             used_p[n_prefix - 1] = False  # poly-G (PrefixTable.cpp:289)
             keep = used_p[prefixes]
-            del freq, total, weight
+            del total
         else:
             uniq, inv, cnt = np.unique(prefixes, return_inverse=True,
                                        return_counts=True)
@@ -229,9 +232,7 @@ class KmerIndex:
                      else np.zeros(0, bool))
             rc_cnt = np.where(found, cnt[jc], 0)
             total = cnt + rc_cnt
-            weight = ((max_prefix_freq - total) * 100.0
-                      / max_prefix_freq).astype(np.int8)
-            used_u = (total < max_prefix_freq) & (weight != 0)
+            used_u = total <= thr
             used_u &= uniq != (n_prefix - 1)  # poly-G (PrefixTable.cpp:289)
             keep = used_u[inv]
 
@@ -239,7 +240,7 @@ class KmerIndex:
         pos = pos[keep]
         order = np.argsort(prefixes, kind="stable")  # scan order within bucket
         sorted_prefix = prefixes[order]
-        positions = pos[order]
+        positions = pos[order].astype(np.uint32)  # concat coords < 2^32
 
         if len(sorted_prefix) * 128 >= n_prefix:
             # dense representation: O(1) bucket lookup (int32 — position
