@@ -166,7 +166,16 @@ class DeviceContext:
     def __init__(self, genome_codes: np.ndarray):
         _enable_compilation_cache()
         self.genome_len = int(len(genome_codes))
-        self.genome = jax.device_put(np.ascontiguousarray(genome_codes))
+        # pad the device genome to a size class: the genome array's SHAPE
+        # is part of every kernel's compile key, so without padding each
+        # distinct reference forces a full 20-90s-per-shape Mosaic
+        # recompile (measured 800+ s on first contact with a new genome).
+        # Padding is N-codes; gathers mask by hi/valid and never read it
+        # as sequence.
+        n = _size_class(self.genome_len + 8, 1 << 20)
+        buf = np.full(n, NCODE, dtype=np.uint8)
+        buf[: self.genome_len] = genome_codes
+        self.genome = jax.device_put(buf)
         self.readbuf = None
         self.readbuf_len = 0
         self._i32 = self.genome_len < 2 ** 31 - 2
