@@ -49,6 +49,21 @@ class Pipeline:
             use_cache=use_cache, skip_save=cfg.skip_save)
         self.ctx = device_engine.DeviceContext(self.ref.codes)
         device_engine.set_current(self.ctx)
+        # candidate search runs on device when a chip is present (the
+        # host path is the oracle/CPU fallback; at human scale it
+        # dominates the 1-core host's wall time)
+        self.dev_search = None
+        import os as _os
+        import jax as _jax
+        use_dev = _os.environ.get("NGMLR_TPU_DEVICE_SEARCH")
+        big_genome = len(self.ref.codes) >= 100_000_000
+        if use_dev == "1" or (use_dev != "0" and big_genome
+                              and _jax.default_backend() == "tpu"):
+            # the device path's sorts cost ~1 s/batch independent of
+            # genome size; the host path scales with genome size (random
+            # gathers into GB-scale arrays) and loses above ~100 Mbp
+            from ..seed.device_search import DeviceSearch
+            self.dev_search = DeviceSearch(self.index)
         self.processor = LongReadProcessor(self.ref, self.cfg)
         self.acfg = self.processor.acfg
         self.stats = {"reads": 0, "mapped": 0, "unmapped": 0}
@@ -166,8 +181,13 @@ class Pipeline:
         self.ctx.stats["prep_enc_s"] = (self.ctx.stats.get("prep_enc_s", 0.0)
                                         + time.perf_counter() - tp)
         tp = time.perf_counter()
-        cands = search_batch(self.index, seqs, cfg.sensitivity,
-                             cfg.min_kmer_hits)
+        cands = None
+        if self.dev_search is not None:
+            cands = self.dev_search.search_batch(seqs, cfg.sensitivity,
+                                                 cfg.min_kmer_hits)
+        if cands is None:
+            cands = search_batch(self.index, seqs, cfg.sensitivity,
+                                 cfg.min_kmer_hits)
         self.ctx.stats["prep_search_s"] = (
             self.ctx.stats.get("prep_search_s", 0.0)
             + time.perf_counter() - tp)

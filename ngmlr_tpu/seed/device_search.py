@@ -1,0 +1,390 @@
+"""Device-side candidate search: the CS stage's vote/bin/emergence logic
+as one jitted XLA program over the device-resident k-mer index.
+
+At human-genome scale the host-side search_batch dominates wall time
+(~4 s per 192-read batch on the 1-core host: 15M-vote expansions, random
+gathers into a GB-scale position list, and two 15M-element sorts). All of
+it is gather/sort/scan — XLA-native — so this module uploads the index
+once (bucket starts + positions, the same arrays the host path uses) and
+runs the whole stage on the TPU; only compact per-kmer metadata goes up
+(~8 bytes/kmer) and compacted candidate lists come back.
+
+Exactness: identical semantics to ngmlr_tpu.seed.candidates.search_batch
+(the host twin — the CPU path and the test oracle), which replays the
+reference's rList emergence order (CS.cpp:57-269):
+
+  * votes are GENERATED in the reference's order — k-mer emission major,
+    forward bucket before reverse-complement bucket per k-mer, bucket
+    position order — so the vote stream needs no sort at all,
+  * per-(subread, bin, strand) occurrence ranks come from one stable
+    multi-key sort plus its inverse permutation (computed by a second
+    sort — no scatters on the hot arrays),
+  * the running per-subread maximum uses the same packed-key cummax
+    trick as the host (sub in high bits; subreads are non-decreasing in
+    vote order), and the crossing test is the same float32 arithmetic
+    (count >= f32(run_max) * f32(sensitivity), AddLocationStd
+    CS.cpp:136-148),
+  * entries (bins) order by their first crossing vote; the final filter
+    re-applies the final threshold, forward before reverse per entry
+    (CollectResultsStd CS.cpp:248-263).
+
+Capacity guards (the caller falls back to the host path): subread count
+< 2^13, per-group counts < 2^18 (overflow flag), votes <= 2^26, entries
+<= 2^17.
+"""
+
+import functools
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..index.kmer_index import KmerIndex, kmer_stream, revcomp_prefix
+from .candidates import SubreadCandidates, _empty
+
+f32 = np.float32
+
+COUNT_BITS = 18                     # per-group occurrence rank < 2^18
+MAX_SUBS = 1 << 13                  # subread slots per batch
+NE_CAP = 1 << 16                    # returned entry rows per chunk
+NV_MAX = 1 << 22                    # largest padded vote class: XLA sort
+# compile time explodes beyond this (2^24 measured 40+ min vs ~5 min at
+# 2^22); bigger batches are split into per-subread chunks instead —
+# candidate search is independent across subreads
+BIN_SENTINEL = np.int32(1) << 29    # invalid-vote bin (> any real bin)
+
+
+def _pow2(x: int, lo: int) -> int:
+    v = lo
+    while v < x:
+        v *= 2
+    return v
+
+
+def _rc_dev(p, k: int):
+    """Reverse-complement of 2-bit prefixes on device — mirrors
+    kmer_index.revcomp_prefix (complement = XOR 0b10 per base is encoded
+    there via the 0xAAA.. constant; base order reversed)."""
+    mask = jnp.int32((1 << (2 * k)) - 1)
+    pc = p ^ (jnp.int32(0x2AAAAAAA) & mask)
+    out = jnp.zeros_like(p)
+    for i in range(k):
+        out = out | (((pc >> (2 * i)) & 3) << (2 * (k - 1 - i)))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("k", "NK", "NS"))
+def _count_kernel(bucket_start, prefix, sub, n_kmers, k: int, NK: int,
+                  NS: int):
+    """Per-subread vote counts (the host uses them to split the batch
+    into chunks that fit the largest compiled vote class)."""
+    valid = jnp.arange(NK, dtype=jnp.int32) < n_kmers
+    rc = _rc_dev(prefix, k)
+    fc = jnp.where(valid, bucket_start[prefix + 1] - bucket_start[prefix], 0)
+    rcnt = jnp.where(valid, bucket_start[rc + 1] - bucket_start[rc], 0)
+    return jnp.zeros(NS, jnp.int32).at[sub].add(fc + rcnt, mode="drop")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bin_size", "NK", "NV", "NS", "sens",
+                              "min_kmer_hits"))
+def _search_kernel(bucket_start, positions, prefix, meta, read_lens,
+                   n_kmers,
+                   k: int, bin_size: int, NK: int, NV: int, NS: int,
+                   sens: float, min_kmer_hits: float):
+    """prefix int32 [NK]; meta int16 [NK, 2] = (sub, pos_in_sub);
+    read_lens int16 [NS]. Returns fixed-shape entry arrays + per-sub
+    zero-hit k-mer counts + an overflow flag."""
+    sub = meta[:, 0].astype(jnp.int32)
+    corr_f = meta[:, 1].astype(jnp.int32)
+    valid_k = jnp.arange(NK, dtype=jnp.int32) < n_kmers
+    sub = jnp.where(valid_k, sub, jnp.int32(MAX_SUBS - 1))
+    corr_r = read_lens[jnp.clip(sub, 0, NS - 1)].astype(jnp.int32) \
+        - (corr_f + k)
+
+    rc = _rc_dev(prefix, k)
+    fs = bucket_start[prefix]
+    fc = jnp.where(valid_k, bucket_start[prefix + 1] - fs, 0)
+    rs = bucket_start[rc]
+    rcnt = jnp.where(valid_k, bucket_start[rc + 1] - rs, 0)
+
+    zero_hit = valid_k & ((fc + rcnt) == 0)
+    k_count = jnp.zeros(NS, jnp.int32).at[sub].add(
+        zero_hit.astype(jnp.int32), mode="drop")
+
+    # --- votes in reference order (emission-major, fwd before rev) -------
+    c = fc + rcnt
+    cum = jnp.cumsum(c)
+    total_votes = cum[NK - 1]
+    kmer_of = jnp.repeat(jnp.arange(NK, dtype=jnp.int32), c,
+                         total_repeat_length=NV)
+    kstart = cum - c
+    j = jnp.arange(NV, dtype=jnp.int32)
+    v_valid = j < total_votes
+    within = j - kstart[kmer_of]
+    is_rev = within >= fc[kmer_of]
+    boff = jnp.where(is_rev, within - fc[kmer_of], within)
+    pos_idx = jnp.clip(jnp.where(is_rev, rs[kmer_of], fs[kmer_of]) + boff,
+                       0, positions.shape[0] - 1)
+    loc = positions[pos_idx]
+    corr = jnp.where(is_rev, corr_r[kmer_of], corr_f[kmer_of])
+    v_bin = ((loc - corr.astype(jnp.uint32)) >> bin_size).astype(jnp.int32)
+    v_sub = jnp.where(v_valid, sub[kmer_of], jnp.int32(MAX_SUBS - 1))
+    v_str = is_rev.astype(jnp.int32)
+    v_bin = jnp.where(v_valid, v_bin, BIN_SENTINEL)
+
+    # --- per-(sub, bin, strand) occurrence rank: sort + inverse sort -----
+    g2 = v_bin * 2 + v_str
+    arange_v = jnp.arange(NV, dtype=jnp.int32)
+    s_sub, s_g2, s_idx = jax.lax.sort((v_sub, g2, arange_v), num_keys=3)
+    new_grp = jnp.concatenate([
+        jnp.ones(1, bool),
+        (s_sub[1:] != s_sub[:-1]) | (s_g2[1:] != s_g2[:-1])])
+    grp_start = jax.lax.cummax(jnp.where(new_grp, arange_v, -1))
+    rank_sorted = arange_v - grp_start              # 0-based within group
+    # inverse permutation via a sort keyed by the permutation itself
+    _, count_after_m1 = jax.lax.sort((s_idx, rank_sorted), num_keys=1)
+    count_after = count_after_m1 + 1
+    overflow = jnp.max(jnp.where(v_valid, count_after, 0)) \
+        >= (1 << COUNT_BITS)
+
+    # --- running threshold crossing (f32, AddLocationStd) ----------------
+    ckey = (v_sub << COUNT_BITS) | jnp.minimum(count_after,
+                                               (1 << COUNT_BITS) - 1)
+    run_max = jax.lax.cummax(ckey) & ((1 << COUNT_BITS) - 1)
+    thresh = run_max.astype(jnp.float32) * jnp.float32(sens)
+    crossing = v_valid & (count_after.astype(jnp.float32) >= thresh)
+
+    sub_last = jnp.zeros(NS, jnp.int32).at[v_sub].max(
+        jnp.where(v_valid, run_max, 0), mode="drop")
+    final_thresh = jnp.maximum(
+        jnp.float32(min_kmer_hits),
+        sub_last.astype(jnp.float32) * jnp.float32(sens))
+
+    # --- group stats in group-sorted space (groups are contiguous) -------
+    cross_s = jnp.take(crossing, s_idx)
+    # first crossing VOTE INDEX per group: within a group rows are in
+    # ascending vote order (idx was the sort's 3rd key), so a segmented
+    # min over s_idx at crossing rows yields the group's first crossing
+    # vote. Segmented min = standard (flag, value) associative scan.
+    cand = jnp.where(cross_s, s_idx, jnp.int32(NV))
+
+    def combine(a, b):
+        fa, va = a
+        fb, vb = b
+        return (fa | fb, jnp.where(fb, vb, jnp.minimum(va, vb)))
+
+    _, first_cross_sorted = jax.lax.associative_scan(
+        combine, (new_grp, cand))
+    grp_size_sorted = rank_sorted + 1      # running size; last row = size
+
+    # group boundary rows (last row of each group) carry the group's stats
+    is_last = jnp.concatenate([new_grp[1:], jnp.ones(1, bool)])
+    # per-row group stats valid at last rows:
+    g_sub = s_sub
+    g_bin = s_g2 >> 1
+    g_str = s_g2 & 1
+
+    # pair fwd/rev groups of one (sub, bin): their LAST rows are adjacent
+    # in the boundary-row subsequence; compact boundary rows by sorting
+    # non-boundary rows to the end, preserving group order
+    brow_key = jnp.where(is_last, arange_v, jnp.int32(NV))
+    bk, b_sub, b_bin, b_str, b_size, b_first = jax.lax.sort(
+        (brow_key, g_sub, g_bin, g_str, grp_size_sorted,
+         first_cross_sorted), num_keys=1)
+    b_valid = bk < NV
+    same_prev = jnp.concatenate([
+        jnp.zeros(1, bool),
+        (b_sub[1:] == b_sub[:-1]) & (b_bin[1:] == b_bin[:-1])])
+    nxt_size = jnp.concatenate([b_size[1:], jnp.zeros(1, jnp.int32)])
+    nxt_first = jnp.concatenate([b_first[1:],
+                                 jnp.full(1, NV, jnp.int32)])
+    has_next = jnp.concatenate([same_prev[1:], jnp.zeros(1, bool)])
+    is_entry = b_valid & (~same_prev) & (b_bin < (BIN_SENTINEL >> 1))
+    e_fwd = jnp.where(b_str == 0, b_size, 0)
+    e_rev = jnp.where(b_str == 0, jnp.where(has_next, nxt_size, 0), b_size)
+    e_first = jnp.minimum(b_first, jnp.where(has_next, nxt_first, NV))
+    # final threshold ON DEVICE before compaction: pre-filter entries are
+    # plentiful (every early vote crosses while run_max is still small —
+    # millions per batch); kept candidates are the compact result
+    th = final_thresh[jnp.clip(b_sub, 0, NS - 1)]
+    keep_f = e_fwd.astype(jnp.float32) >= th
+    keep_r = e_rev.astype(jnp.float32) >= th
+    entry_ok = is_entry & (e_first < NV) & (keep_f | keep_r)
+
+    # --- order kept entries by (sub, first crossing vote); compact -------
+    o_sub, o_first, o_bin, o_fwd, o_rev, o_kf, o_kr = jax.lax.sort(
+        (jnp.where(entry_ok, b_sub, jnp.int32(MAX_SUBS)),
+         jnp.where(entry_ok, e_first, NV),
+         b_bin, e_fwd, e_rev,
+         keep_f.astype(jnp.int32), keep_r.astype(jnp.int32)), num_keys=2)
+    n_entries = jnp.sum(entry_ok.astype(jnp.int32))
+    overflow = overflow | (n_entries > NE_CAP) | (total_votes > NV)
+
+    return (o_sub[:NE_CAP], o_bin[:NE_CAP],
+            o_fwd[:NE_CAP], o_rev[:NE_CAP],
+            o_kf[:NE_CAP] == 1, o_kr[:NE_CAP] == 1,
+            n_entries, k_count, overflow)
+
+
+class DeviceSearch:
+    """Batched candidate search on the device; search_batch returns None
+    (caller uses the host path) when unsupported or over capacity."""
+
+    def __init__(self, index: KmerIndex):
+        self.index = index
+        self.available = True
+        if index.uniq_prefix is None:
+            bucket_start = index.bucket_start.astype(np.int32)
+        else:
+            # densify a sparse index (tiny genomes): positions are sorted
+            # by prefix either way, so the dense starts index the same
+            # position array
+            n_prefix = 4 ** index.k
+            counts = np.zeros(n_prefix, np.int32)
+            counts[index.uniq_prefix] = np.diff(index.bucket_start)
+            bucket_start = np.zeros(n_prefix + 1, np.int32)
+            np.cumsum(counts, out=bucket_start[1:])
+        self.bucket_start = jax.device_put(bucket_start)
+        self.positions = jax.device_put(index.positions.astype(np.uint32))
+
+    def search_batch(self, seqs: List[bytes], sensitivity: float = 0.8,
+                     min_kmer_hits: int = 0
+                     ) -> Optional[List[SubreadCandidates]]:
+        index = self.index
+        k = index.k
+        if not self.available or len(seqs) >= MAX_SUBS - 1:
+            return None
+        if any(len(s) >= (1 << 15) for s in seqs):
+            return None   # int16 metadata
+
+        total = sum(len(s) for s in seqs)
+        concat = np.empty(total + len(seqs), dtype=np.uint8)
+        offsets = np.empty(len(seqs) + 1, dtype=np.int64)
+        pos = 0
+        for si, s in enumerate(seqs):
+            offsets[si] = pos
+            n = len(s)
+            concat[pos:pos + n] = np.frombuffer(s, dtype=np.uint8)
+            concat[pos + n] = ord("N")
+            pos += n + 1
+        offsets[-1] = pos
+
+        prefixes, starts = kmer_stream(concat, k, stride=1)
+        n_kmers = len(starts)
+        if n_kmers == 0:
+            return [_empty()] * len(seqs)
+        sub_idx = (np.searchsorted(offsets, starts, side="right") - 1
+                   ).astype(np.int16)
+        pos_in = (starts - offsets[sub_idx.astype(np.int64)]
+                  ).astype(np.int16)
+        read_lens = np.asarray([len(s) for s in seqs], dtype=np.int16)
+
+        n_seqs = len(seqs)
+        NK_full = _pow2(n_kmers, 1 << 14)
+        NS_full = _pow2(n_seqs + 1, 256)
+        pfx = np.zeros(NK_full, dtype=np.int32)
+        pfx[:n_kmers] = prefixes
+        subs32 = np.zeros(NK_full, dtype=np.int32)
+        subs32[:n_kmers] = sub_idx
+        subs32[n_kmers:] = MAX_SUBS - 1
+
+        votes_per_sub = np.asarray(jax.device_get(_count_kernel(
+            self.bucket_start, jnp.asarray(pfx), jnp.asarray(subs32),
+            np.int32(n_kmers), k=k, NK=NK_full, NS=NS_full)))[:n_seqs]
+        if votes_per_sub.max(initial=0) > NV_MAX:
+            return None
+
+        # split into contiguous subread chunks whose votes fit NV_MAX
+        # (subreads are independent; k-mers are subread-major)
+        cums = np.cumsum(votes_per_sub)
+        chunk_bounds = [0]
+        base = 0
+        for si in range(n_seqs):
+            if cums[si] - base > NV_MAX:
+                chunk_bounds.append(si)
+                base = cums[si - 1] if si > 0 else 0
+                if cums[si] - base > NV_MAX:
+                    return None
+        chunk_bounds.append(n_seqs)
+        kmer_bounds = np.searchsorted(sub_idx, chunk_bounds)
+
+        bin_size = index.bin_size
+        resolve_off = (1 << (bin_size - 1)) if bin_size > 0 else 0
+        parts = []
+        k_counts = np.zeros(n_seqs, dtype=np.int64)
+        # dispatch every chunk's kernel before the first fetch (dispatch is
+        # async; each fetch costs a ~25 ms tunnel round trip)
+        pending = []
+        for ci in range(len(chunk_bounds) - 1):
+            s0, s1 = chunk_bounds[ci], chunk_bounds[ci + 1]
+            k0, k1 = int(kmer_bounds[ci]), int(kmer_bounds[ci + 1])
+            nk = k1 - k0
+            if nk == 0:
+                continue
+            # coarse static classes to bound the (slow) XLA sort compiles:
+            # one NS, few NK/NV variants
+            NK = _pow2(nk, 1 << 19)
+            NS = MAX_SUBS
+            cp = np.zeros(NK, dtype=np.int32)
+            cp[:nk] = prefixes[k0:k1]
+            meta = np.zeros((NK, 2), dtype=np.int16)
+            meta[:nk, 0] = sub_idx[k0:k1] - s0
+            meta[:nk, 1] = pos_in[k0:k1]
+            rl = np.zeros(NS, dtype=np.int16)
+            rl[: s1 - s0] = read_lens[s0:s1]
+            n_votes = int(cums[s1 - 1] - (cums[s0 - 1] if s0 else 0))
+            NV = _pow2(max(n_votes, 1 << 20), 1 << 20)
+
+            out = _search_kernel(self.bucket_start, self.positions,
+                                 jnp.asarray(cp), jnp.asarray(meta),
+                                 jnp.asarray(rl), np.int32(nk),
+                                 k=k, bin_size=bin_size, NK=NK, NV=NV,
+                                 NS=NS, sens=float(f32(sensitivity)),
+                                 min_kmer_hits=float(f32(min_kmer_hits)))
+            pending.append((s0, s1, out))
+        fetched = jax.device_get([out for _, _, out in pending])
+        for (s0, s1, _), vals in zip(pending, fetched):
+            (o_sub, o_bin, o_fwd, o_rev, keep_f, keep_r, n_entries,
+             k_count, overflow) = vals
+            if bool(overflow):
+                return None
+            n_e = int(n_entries)
+            k_counts[s0:s1] = k_count[: s1 - s0]
+
+            e_sub = o_sub[:n_e].astype(np.int64) + s0
+            e_loc = (o_bin[:n_e].astype(np.int64) << bin_size) + resolve_off
+            out_sub = np.repeat(e_sub, 2)
+            out_loc = np.repeat(e_loc, 2)
+            out_rev = np.tile(np.array([False, True]), n_e)
+            out_cnt = np.empty(2 * n_e, np.float32)
+            out_cnt[0::2] = o_fwd[:n_e]
+            out_cnt[1::2] = o_rev[:n_e]
+            keep = np.empty(2 * n_e, bool)
+            keep[0::2] = keep_f[:n_e]
+            keep[1::2] = keep_r[:n_e]
+            parts.append((out_sub[keep], out_loc[keep], out_rev[keep],
+                          out_cnt[keep]))
+
+        if parts:
+            out_sub = np.concatenate([p[0] for p in parts])
+            out_loc = np.concatenate([p[1] for p in parts])
+            out_rev = np.concatenate([p[2] for p in parts])
+            out_cnt = np.concatenate([p[3] for p in parts])
+        else:
+            out_sub = np.zeros(0, np.int64)
+            out_loc = np.zeros(0, np.int64)
+            out_rev = np.zeros(0, bool)
+            out_cnt = np.zeros(0, np.float32)
+
+        lens64 = read_lens.astype(np.int64)
+        mq_zero = k_counts > ((lens64 - k + 1) * 0.9).astype(np.int64)
+
+        res_bounds = np.searchsorted(out_sub, np.arange(n_seqs + 1))
+        res: List[SubreadCandidates] = []
+        for si in range(n_seqs):
+            lo, hi = int(res_bounds[si]), int(res_bounds[si + 1])
+            res.append(SubreadCandidates(out_loc[lo:hi], out_rev[lo:hi],
+                                         out_cnt[lo:hi], bool(mq_zero[si])))
+        return res
