@@ -479,6 +479,8 @@ class DeviceContext:
         problems, pending = pend
         if fetched is None:
             fetched = jax.device_get([(p, s) for _, p, s in pending])
+        n_ok = 0
+        corr_sum = 0
         for (idxs, _, _), (packed, scalars) in zip(pending, fetched):
             for bi, i in enumerate(idxs):
                 p = problems[i]
@@ -488,6 +490,15 @@ class DeviceContext:
                 p.stop_x, p.stop_y = int(sx), int(sy)
                 p.ok = bool(okf)
                 p.ops = packed[bi]
+                n_ok += p.ok
+                corr_sum += p.width
+        # NGMStats corridorLen/alignmentCount/invalidAligmentCount
+        # (AlignmentBuffer.cpp:60,120,188)
+        self.stats["alignment_ok"] = self.stats.get("alignment_ok", 0) + n_ok
+        self.stats["alignment_all"] = (self.stats.get("alignment_all", 0)
+                                       + len(problems))
+        self.stats["corridor_sum"] = (self.stats.get("corridor_sum", 0)
+                                      + corr_sum)
         self.stats["align_s"] += time.perf_counter() - t0
 
 

@@ -124,22 +124,30 @@ class Pipeline:
         return self.stats
 
     def _progress_line(self, t0: float):
-        """The reference's 2s progress line (NGM.cpp:374-428, format
+        """The reference's progress line (NGM.cpp:390-428, format
         documented in its README): Processed: N (alignRate), R/S, RL,
-        Time: cs score align (here: wall-seconds per stage on device),
-        Align: success ratio, avg corridor width, avg align fraction."""
+        Time: cs score align (stage shares of device+search time, the
+        csTime/scoreTime/alignTime split of CS.cpp:474-480), Align:
+        success ratio, avg corridor width, avg aligned fraction."""
         el = max(time.time() - t0, 1e-9)
-        n = self.stats["reads"]
+        n = max(1, self.stats["reads"])
         mapped = self.stats["mapped"]
         ds = self.ctx.stats
-        align_ok = ds["align_problems"] or 1
+        cs_s = ds.get("prep_search_s", 0.0)
+        sc_s = ds.get("score_s", 0.0)
+        al_s = ds.get("align_s", 0.0)
+        tot_s = max(cs_s + sc_s + al_s, 1e-9)
+        a_all = max(ds.get("alignment_all", 0), 1)
         sys.stderr.write(
             "Processed: %d (%.2f), R/S: %.2f, RL: %d, "
             "Time: %.2f %.2f %.2f, Align: %.2f, %d, %.2f\r\n"
-            % (n, mapped / max(1, n), n / el,
-               self._read_bp // max(1, n),
-               0.0, ds["score_s"], ds["align_s"],
-               1.0, 0, ds["align_s"] / el))
+            % (n, mapped / n, n / el,
+               self._read_bp // n,
+               100.0 * cs_s / tot_s, 100.0 * sc_s / tot_s,
+               100.0 * al_s / tot_s,
+               ds.get("alignment_ok", 0) / a_all,
+               ds.get("corridor_sum", 0) // a_all,
+               self.stats.get("align_frac_sum", 0.0) / max(1, mapped)))
 
     # ------------------------------------------------------------------
 
@@ -294,7 +302,14 @@ class Pipeline:
                     continue
                 mapped, records = outcomes[job_key[ri]]
                 writer.write_read(read, records, mapped)
-                self._count(mapped and any(not r.align.skip for r in records))
+                is_mapped = mapped and any(not r.align.skip for r in records)
+                if is_mapped and read.length > 0:
+                    bp = sum(read.length - r.align.qstart - r.align.qend
+                             for r in records if not r.align.skip)
+                    self.stats["align_frac_sum"] = (
+                        self.stats.get("align_frac_sum", 0.0)
+                        + min(1.0, bp / read.length))
+                self._count(is_mapped)
         self.ctx.stats["emit_s"] = (self.ctx.stats.get("emit_s", 0.0)
                                     + time.perf_counter() - te)
 
