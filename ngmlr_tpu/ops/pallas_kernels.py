@@ -60,7 +60,8 @@ def _iota(shape, dim):
 def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
                  dirs_ref, best_ref, by_ref, bx_ref,
                  s1_ref, p1d_ref, r1_ref, s2_ref, rc_ref, qc_ref,
-                 bb_ref, bby_ref, bbx_ref, dirs_acc, *, L, nT, K, BT):
+                 bb_ref, bby_ref, bbx_ref, dirs_acc, *, L, nT, K, BT,
+                 GU=8):
     tb = pl.program_id(1)
     mat = params_ref[0, 0]
     mis = params_ref[0, 1]
@@ -182,15 +183,15 @@ def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
     # group so each step reads a static column. Sub-tiles interleave inside
     # each wavefront iteration (see NS above).
     def group(g, carry):
-        base = pl.multiple_of(g * 8, 8)
-        ext = scal_ref[pl.ds(base, 8), :].T           # [sw, 8] i32
-        dirs_rows = [[None] * 8 for _ in range(NS)]
-        for u in range(8):
+        base = pl.multiple_of(g * GU, GU)
+        ext = scal_ref[pl.ds(base, GU), :].T          # [sw, GU] i32
+        dirs_rows = [[None] * GU for _ in range(NS)]
+        for u in range(GU):
             carry = tuple(
-                step(g * 8 + u, u, s, ext, dirs_rows, carry[s])
+                step(g * GU + u, u, s, ext, dirs_rows, carry[s])
                 for s in range(NS))
         for s in range(NS):
-            dirs_acc[s * 8:(s + 1) * 8, pl.ds(base, 8), :] = \
+            dirs_acc[s * 8:(s + 1) * 8, pl.ds(base, GU), :] = \
                 jnp.stack(dirs_rows[s], axis=1)
         return carry
 
@@ -205,7 +206,7 @@ def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
              bb_ref[s * 8:(s + 1) * 8, :], bby_ref[s * 8:(s + 1) * 8, :],
              bbx_ref[s * 8:(s + 1) * 8, :])
             for s in range(NS))
-        out = jax.lax.fori_loop(0, K // 8, group, init)
+        out = jax.lax.fori_loop(0, K // GU, group, init)
         for s in range(NS):
             (s1_ref[s * 8:(s + 1) * 8, :], p1d_ref[s * 8:(s + 1) * 8, :],
              r1_ref[s * 8:(s + 1) * 8, :], s2_ref[s * 8:(s + 1) * 8, :],
@@ -233,7 +234,7 @@ def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
 
 
 def convex_fill(params, qry0, ymin, ymax, d1, d2, rcpatch, qcpatch,
-                L: int, K: int = 256, BT: int = 8):
+                L: int, K: int = 256, BT: int = 8, GU: int = 8):
     """params f32 [8]; qry0 i32 [B, L] = first L query codes (the t=0
     incremental window; the rest of the query enters via qcpatch);
     ymin/ymax/d1/d2/rcpatch/qcpatch i32 [B, TpP] (TpP multiple of K);
@@ -270,7 +271,7 @@ def convex_fill(params, qry0, ymin, ymax, d1, d2, rcpatch, qcpatch,
               <= last_active[:, None]).astype(jnp.int32)
 
     out = pl.pallas_call(
-        functools.partial(_fill_kernel, L=L, nT=nT, K=K, BT=BT),
+        functools.partial(_fill_kernel, L=L, nT=nT, K=K, BT=BT, GU=GU),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 8), lambda b, t: (0, 0),
@@ -314,7 +315,8 @@ def convex_fill(params, qry0, ymin, ymax, d1, d2, rcpatch, qcpatch,
 def _bt_kernel(dirs_ref, ymin_ref, bx_ref, by_ref, mode_ref, ci_ref,
                width_ref, cf_ref,
                ops_ref, sx_ref, sy_ref, st_ref,
-               x_s, y_s, state_s, stx_s, sty_s, *, L, nT, K, BT):
+               x_s, y_s, state_s, stx_s, sty_s, *, L, nT, K, BT,
+               GU=8):
     tb = pl.program_id(1)          # 0 = highest wavefront block
     NS = BT // 8                   # independent sub-tiles (latency hiding)
     lanes = _iota((8, L), 1)
@@ -385,12 +387,12 @@ def _bt_kernel(dirs_ref, ymin_ref, bx_ref, by_ref, mode_ref, ci_ref,
     # interleave per row (the walk is a pure dependency chain -> latency
     # hiding, see the fill kernel)
     def group(gi, carry):
-        g = (K // 8 - 1) - gi
-        base = pl.multiple_of(g * 8, 8)
-        tile = dirs_ref[:, pl.ds(base, 8), :].astype(jnp.int32)  # [BT, 8, L]
-        for u in range(7, -1, -1):
+        g = (K // GU - 1) - gi
+        base = pl.multiple_of(g * GU, GU)
+        tile = dirs_ref[:, pl.ds(base, GU), :].astype(jnp.int32)  # [BT, GU, L]
+        for u in range(GU - 1, -1, -1):
             carry = tuple(
-                step(g * 8 + u, s, tile[s * 8:(s + 1) * 8, u, :], carry[s])
+                step(g * GU + u, s, tile[s * 8:(s + 1) * 8, u, :], carry[s])
                 for s in range(NS))
         return carry
 
@@ -406,7 +408,7 @@ def _bt_kernel(dirs_ref, ymin_ref, bx_ref, by_ref, mode_ref, ci_ref,
              state_s[s * 8:(s + 1) * 8, :], stx_s[s * 8:(s + 1) * 8, :],
              sty_s[s * 8:(s + 1) * 8, :], jnp.zeros((8, K), jnp.int32))
             for s in range(NS))
-        out = jax.lax.fori_loop(0, K // 8, group, init)
+        out = jax.lax.fori_loop(0, K // GU, group, init)
         for s in range(NS):
             (x_s[s * 8:(s + 1) * 8, :], y_s[s * 8:(s + 1) * 8, :],
              state_s[s * 8:(s + 1) * 8, :], stx_s[s * 8:(s + 1) * 8, :],
@@ -425,7 +427,7 @@ def _bt_kernel(dirs_ref, ymin_ref, bx_ref, by_ref, mode_ref, ci_ref,
 
 
 def convex_backtrack(dirs, ymin, bx, by, mode, ci, width, cf,
-                     L: int, K: int = 256, BT: int = 8):
+                     L: int, K: int = 256, BT: int = 8, GU: int = 8):
     """dirs u8 [B, TpP, L]; ymin i32 [B, TpP]; bx/by/mode/ci/width i32
     [B,1]; cf f32 [B,2]. Returns (ops i32 [B, TpP], sx, sy, state i32
     [B,1])."""
@@ -439,7 +441,7 @@ def convex_backtrack(dirs, ymin, bx, by, mode, ci, width, cf,
                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_bt_kernel, L=L, nT=nT, K=K, BT=BT),
+        functools.partial(_bt_kernel, L=L, nT=nT, K=K, BT=BT, GU=GU),
         grid=grid,
         in_specs=[
             pl.BlockSpec((BT, K, L), lambda b, t, _n=nT: (b, _n - 1 - t, 0),
