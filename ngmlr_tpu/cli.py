@@ -130,7 +130,14 @@ def main(argv=None):
         return 1
     shard, n_shards = 0, 1
     if args.shard:
-        shard, n_shards = (int(v) for v in args.shard.split("/"))
+        try:
+            fields = args.shard.split("/")
+            if len(fields) != 2:
+                raise ValueError(args.shard)
+            shard, n_shards = (int(v) for v in fields)
+        except ValueError:
+            sys.stderr.write(f"Invalid --shard {args.shard}\n")
+            return 1
         if not (0 <= shard < n_shards):
             sys.stderr.write(f"Invalid --shard {args.shard}\n")
             return 1

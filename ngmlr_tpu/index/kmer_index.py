@@ -243,11 +243,15 @@ class KmerIndex:
         positions = pos[order].astype(np.uint32)  # concat coords < 2^32
 
         if len(sorted_prefix) * 128 >= n_prefix:
-            # dense representation: O(1) bucket lookup (int32 — position
-            # counts are < 2^31 per the uint32 device position space)
-            bucket_start = np.zeros(n_prefix + 1, dtype=np.int32)
+            # dense representation: O(1) bucket lookup. int32 offsets only
+            # when the kept-position count fits (a ~2.2 Gbp genome at
+            # --kmer-skip 1 can exceed 2^31 positions even though each
+            # position fits uint32) — int64 otherwise, so the cumsum
+            # cannot silently wrap.
+            dt = np.int32 if len(sorted_prefix) < 2 ** 31 else np.int64
+            bucket_start = np.zeros(n_prefix + 1, dtype=dt)
             counts = np.bincount(sorted_prefix, minlength=n_prefix)
-            np.cumsum(counts, dtype=np.int32, out=bucket_start[1:])
+            np.cumsum(counts, dtype=dt, out=bucket_start[1:])
             return cls(k, bucket_start, positions, bin_size, kmer_skip)
         # sparse representation: searchsorted over the unique prefix list
         kept_uniq = np.unique(sorted_prefix)

@@ -229,6 +229,40 @@ class WaveBatcher:
             ev.set()
 
 
+class SerialBinding:
+    """Single-threaded stand-in for WaveBatcher used by the serial
+    execution path (--stdout debug modes, NGMLR_TPU_SYNC): requests fire
+    immediately, one at a time, against the batch's OWN read buffer.
+
+    Without this binding the serial path fell back to
+    ``DeviceContext.readbuf`` — which the pipelined prep thread overwrites
+    when it uploads batch N+1's reads mid-batch, so any serial run past
+    one intake batch scored batch N against batch N+1's read bytes."""
+
+    serial = True
+
+    def __init__(self, ctx: DeviceContext, readbuf):
+        self.ctx = ctx
+        self.readbuf = readbuf
+
+    def align(self, problem: AlignProblem, params) -> AlignProblem:
+        self.ctx.align_wave([problem], tuple(params), readbuf=self.readbuf)
+        return problem
+
+    def score(self, problems: Sequence[ScoreProblem]) -> None:
+        if problems:
+            self.ctx.score_wave(problems, readbuf=self.readbuf)
+
+    def corun(self, thunks):
+        out = []
+        for t in thunks:
+            try:
+                out.append((t(), None))
+            except BaseException as e:
+                out.append((None, e))
+        return out
+
+
 # Active batcher. Worker threads carry their batcher in thread-local state
 # (two batches' waves may be in flight concurrently — the runner overlaps
 # batch N's straggler waves with batch N+1's bulk wave); the module global

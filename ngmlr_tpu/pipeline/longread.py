@@ -569,7 +569,7 @@ class LongReadProcessor:
 
         from . import batcher as _batcher
         wb = _batcher.current()
-        if wb is not None:
+        if wb is not None and not getattr(wb, "serial", False):
             (align_left, err_l), (align_right, err_r) = wb.corun(
                 [lambda: _aln(left_of_inv), lambda: _aln(right_of_inv)])
         else:

@@ -254,17 +254,24 @@ class Pipeline:
         if os.environ.get("NGMLR_TPU_SYNC") or self.cfg.stdout_mode:
             # profiling mode — and all --stdout debug modes: jobs run
             # serially in this thread so the dump order matches the
-            # reference's single-threaded (-t 1) output exactly
-            self.ctx.readbuf = readbuf
+            # reference's single-threaded (-t 1) output exactly. The
+            # batch's readbuf is bound thread-locally (NOT via
+            # ctx.readbuf, which the prep thread overwrites when it
+            # uploads batch N+1 mid-batch).
+            _batcher.set_thread_batcher(
+                _batcher.SerialBinding(self.ctx, readbuf))
             outcomes = []
-            for job in jobs:
-                try:
-                    outcomes.append(job())
-                except BaseException as e:
-                    if os.environ.get("NGMLR_TPU_STRICT"):
-                        raise
-                    sys.stderr.write(f"Error processing read: {e!r}\n")
-                    outcomes.append(None)
+            try:
+                for job in jobs:
+                    try:
+                        outcomes.append(job())
+                    except BaseException as e:
+                        if os.environ.get("NGMLR_TPU_STRICT"):
+                            raise
+                        sys.stderr.write(f"Error processing read: {e!r}\n")
+                        outcomes.append(None)
+            finally:
+                _batcher.set_thread_batcher(None)
         else:
             wb = _batcher.WaveBatcher(self.ctx, readbuf=readbuf)
             outcomes = wb.map_jobs(jobs)

@@ -120,7 +120,14 @@ def search_batch(index: KmerIndex, seqs: List[bytes], sensitivity: float = 0.8,
     eb = max(int(emit_all.max()) if len(emit_all) else 0, 1).bit_length()
     wb = max(int(within.max()) if len(within) else 0, 1).bit_length()
     bb = max(int(bins_all.max()) if len(bins_all) else 0, 1).bit_length()
-    if sb + eb + wb + 1 < 63 and sb + bb + 1 < 63:
+    # the packed radix keys require every component non-negative; bins are
+    # only guaranteed >= 0 because the genome's 1000-byte leading pad keeps
+    # loc >= 1000 > correction (<= 256). Fail over to lexsort (identical
+    # order, slower) rather than silently OR-ing sign bits into the key if
+    # that invariant ever breaks.
+    nonneg = (len(bins_all) == 0
+              or (int(bins_all.min()) >= 0 and int(within.min()) >= 0))
+    if nonneg and sb + eb + wb + 1 < 63 and sb + bb + 1 < 63:
         vote_key = ((((sub_all << eb) | emit_all) << 1
                      | strand.astype(np.int64)) << wb) | within
         vote_order = np.argsort(vote_key, kind="stable")

@@ -8,7 +8,13 @@ single-process run up to the intake-group (10-read) short/long reordering,
 which can bucket differently per shard. Headers are taken from shard 0
 (@PG CL is per-shard by nature).
 
-Usage: merge_sams.py out.sam shard0.sam shard1.sam ... shardN-1.sam
+Usage: merge_sams.py [--query reads.fa[.gz]] out.sam shard0.sam ... shardN-1.sam
+
+``--query`` makes the merge robust to empty input records: an empty
+FASTA/Q record emits NO SAM group (runner skips it), which would shift
+that shard's group sequence under pure positional round-robin. With the
+query file, the merge walks global read order and skips the round-robin
+slot of every empty read instead of pulling a later group into it.
 
 This is the multi-host output merge of SURVEY §2.11: hosts write local
 shards; the merge is a deterministic host-side pass (the reference, by
@@ -39,7 +45,21 @@ def read_groups(path: str):
     return headers, groups
 
 
+def read_emptiness(query_path: str):
+    """[read_is_empty] per record of the query file, in file order."""
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from ngmlr_tpu.io.fastx import parse_fastx
+    return [rec.empty for rec in parse_fastx(query_path)]
+
+
 def main(argv):
+    argv = list(argv)
+    empties = None
+    if "--query" in argv:
+        qi = argv.index("--query")
+        empties = read_emptiness(argv[qi + 1])
+        del argv[qi:qi + 2]
     if len(argv) < 3:
         sys.stderr.write(__doc__)
         return 2
@@ -55,6 +75,9 @@ def main(argv):
         gi = 0
         while done < n:
             s = gi % n
+            if empties is not None and gi < len(empties) and empties[gi]:
+                gi += 1            # empty read: emitted no group anywhere
+                continue
             if idx[s] < len(parsed[s][1]):
                 for line in parsed[s][1][idx[s]]:
                     out.write(line)

@@ -123,3 +123,44 @@ def test_long_read_with_sv(tmp_path):
     # primary covers the bulk of the read
     primaries = [r for r in mapped if not (int(r[1]) & 0x800)]
     assert len(primaries) == 1
+
+
+def test_serial_mode_matches_pipelined_across_batches(tmp_path, monkeypatch):
+    """Regression: the serial execution path (--stdout debug modes /
+    NGMLR_TPU_SYNC) must bind each batch's OWN read buffer. It used to
+    bind ctx.readbuf, which the pipelined prep thread overwrites when it
+    uploads batch N+1 mid-batch — every batch-1+ read scored against the
+    wrong read bytes and came out unmapped (advisor repro: 58/250 mapped).
+    Forcing tiny intake batches makes the overlap happen on test_2."""
+    argv = ["-r", os.path.join(DATA_DIR, "test_2/ref_chr21_20kb.fa"),
+            "-q", os.path.join(DATA_DIR, "test_2/reads_100_2200bp.fa")]
+    args = build_parser().parse_args(argv)
+
+    def run(sync):
+        if sync:
+            monkeypatch.setenv("NGMLR_TPU_SYNC", "1")
+        else:
+            monkeypatch.delenv("NGMLR_TPU_SYNC", raising=False)
+        cfg = config_from_args(args, argv)
+        cfg.batch_reads = 4          # 12 reads -> 3 batches, prep overlaps
+        pipeline = Pipeline(cfg, args.reference, use_cache=True)
+        buf = io.BytesIO()
+        pipeline.run(args.query, buf)
+        return buf.getvalue()
+
+    assert _records(run(sync=True)) == _records(run(sync=False))
+
+
+def test_cli_invalid_shard_is_friendly():
+    """Malformed --shard values exit 1 with a message, not a traceback
+    (advisor finding: '--shard 1' / '0/two' raised ValueError)."""
+    import subprocess, sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for bad in ["1", "0/two", "1/2/3", "/"]:
+        r = subprocess.run(
+            [sys.executable, "-m", "ngmlr_tpu.cli", "-r", "x.fa",
+             "-q", "y.fa", "--shard", bad],
+            cwd=repo, capture_output=True,
+            env=dict(os.environ, JAX_PLATFORMS="cpu"))
+        assert r.returncode == 1, (bad, r.returncode)
+        assert b"Invalid --shard" in r.stderr, (bad, r.stderr)
