@@ -206,13 +206,18 @@ def main():
                                      for k, v in sorted(ds.items())),
                             host_s))
     mapped_frac = stats["mapped"] / max(1, stats["reads"])
-    gcups = (ds["cells"] / ds["align_s"] / 1e9) if ds["align_s"] else 0.0
+    a_s = ds.get("align_s", 0.0)
+    gcups_pad = (ds.get("cells_align", 0) / a_s / 1e9) if a_s else 0.0
+    gcups_useful = (ds.get("cells_align_useful", 0) / a_s / 1e9) if a_s else 0.0
     result = {
         "metric": "reads_per_sec_per_chip",
         "value": round(rps, 3),
         "unit": f"reads/s ({READ_LEN}bp PacBio-like, {mapped_frac:.0%} mapped)",
         "vs_baseline": round(rps / BASELINE_RPS, 4),
-        "gcups_convex_dp": round(gcups, 2),
+        "genome_mbp": GENOME_MBP,
+        "n_reads": N_READS,
+        "gcups_convex_dp": round(gcups_useful, 2),
+        "gcups_convex_dp_padded": round(gcups_pad, 2),
     }
     print(json.dumps(result))
 

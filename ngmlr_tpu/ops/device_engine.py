@@ -183,7 +183,13 @@ class DeviceContext:
         # NGMStats.h:11-54): wall seconds + launch/problem counts per stage
         self.stats = {"score_s": 0.0, "score_waves": 0, "score_problems": 0,
                       "align_s": 0.0, "align_waves": 0, "align_problems": 0,
-                      "upload_s": 0.0, "cells": 0}
+                      "upload_s": 0.0,
+                      # DP-cell accounting, split per stage and padded vs
+                      # useful so GCUPS can be reported honestly (padded =
+                      # what the kernel actually computes incl. tile slack;
+                      # useful = the problems' own corridor areas)
+                      "cells_score": 0, "cells_score_useful": 0,
+                      "cells_align": 0, "cells_align_useful": 0}
 
     def _params_vec(self, params: Tuple[float, ...]):
         """Device-cached score-parameter vector (uploads once per value)."""
@@ -255,7 +261,9 @@ class DeviceContext:
                                    jnp.asarray(pk), Rp=Rp, Qp=Qp, impl=s_impl)
             pending.append((idxs, scores))
             self.stats["score_waves"] += 1
-            self.stats["cells"] += len(idxs) * Rp * Qp
+            self.stats["cells_score"] += len(idxs) * Rp * Qp
+            self.stats["cells_score_useful"] += sum(
+                problems[i].ref.W * problems[i].qry.length for i in idxs)
         self.stats["score_problems"] += len(problems)
         self.stats["score_s"] += time.perf_counter() - t0
         return (problems, pending)
@@ -297,7 +305,9 @@ class DeviceContext:
                                    impl=s_impl)
             pending.append((idxs, scores))
             self.stats["score_waves"] += 1
-            self.stats["cells"] += n * rp * qp
+            self.stats["cells_score"] += n * rp * qp
+            self.stats["cells_score_useful"] += int(
+                np.sum(W[idxs] * qlen[idxs]))
         fetched = jax.device_get([s for _, s in pending])
         for (idxs, _), scores in zip(pending, fetched):
             out[idxs] = scores[:len(idxs)]
@@ -466,7 +476,11 @@ class DeviceContext:
                      ((t_max + 3) // 4 + 255) // 256 * 256)
             pending.append((idxs, packed_ops_dev[:, :n4], scalars_dev))
             self.stats["align_waves"] += 1
-            self.stats["cells"] += len(idxs) * (Wp + Hp) * L
+            self.stats["cells_align"] += len(idxs) * (Wp + Hp) * L
+            self.stats["cells_align_useful"] += sum(
+                problems[i].qry.length * min(problems[i].width,
+                                             problems[i].ref.W)
+                for i in idxs)
         self.stats["align_problems"] += len(problems)
         self.stats["align_s"] += time.perf_counter() - t0
         return (problems, pending)
