@@ -161,10 +161,40 @@ def current() -> Optional["DeviceContext"]:
 
 
 class DeviceContext:
-    """Holds the device-resident genome and the per-batch read buffer."""
+    """Holds the device-resident genome and the per-batch read buffer.
 
-    def __init__(self, genome_codes: np.ndarray):
+    Multi-chip (single-process): with ``n_devices > 1`` (the CLI maps
+    ``-t/--threads`` here — the TPU analog of the reference's worker pool,
+    NGM.cpp:334-348) every score/align wave is sharded data-parallel over a
+    1-D device mesh via shard_map: genome + read buffer replicated,
+    problem batches split along the batch axis, per-wave problem counters
+    psum'd on-mesh. Results are bit-identical to single-device execution
+    (same kernels, same per-problem math, order preserved on gather)."""
+
+    def __init__(self, genome_codes: np.ndarray,
+                 n_devices: Optional[int] = None):
         _enable_compilation_cache()
+        avail = jax.local_device_count()
+        nd_env = os.environ.get("NGMLR_TPU_DEVICES")
+        if nd_env:
+            nd = int(nd_env)
+        elif n_devices is not None:
+            nd = int(n_devices)
+        else:
+            nd = 1
+        if nd > avail:
+            import sys as _sys
+            _sys.stderr.write(
+                "ngmlr-tpu: %d devices requested, %d available — using %d\n"
+                % (nd, avail, avail))
+            nd = avail
+        self.mesh = None
+        self._repl = None
+        if nd > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            self.mesh = Mesh(np.asarray(jax.devices()[:nd]), ("dp",))
+            self._repl = NamedSharding(self.mesh, PartitionSpec())
+        self.n_devices = nd if self.mesh is not None else 1
         self.genome_len = int(len(genome_codes))
         # pad the device genome to a size class: the genome array's SHAPE
         # is part of every kernel's compile key, so without padding each
@@ -175,7 +205,7 @@ class DeviceContext:
         n = _size_class(self.genome_len + 8, 1 << 20)
         buf = np.full(n, NCODE, dtype=np.uint8)
         buf[: self.genome_len] = genome_codes
-        self.genome = jax.device_put(buf)
+        self.genome = self._put_replicated(buf)
         self.readbuf = None
         self.readbuf_len = 0
         self._i32 = self.genome_len < 2 ** 31 - 2
@@ -191,13 +221,28 @@ class DeviceContext:
                       "cells_score": 0, "cells_score_useful": 0,
                       "cells_align": 0, "cells_align_useful": 0}
 
+    def _put_replicated(self, arr):
+        """device_put, replicated across the wave mesh when one exists."""
+        if self._repl is not None:
+            return jax.device_put(arr, self._repl)
+        return jax.device_put(arr)
+
+    def _shard_B(self, n: int, tile: int) -> int:
+        """Wave batch-dim padding: per-device shard is a pow2 (>= tile)
+        multiple of the tile so compile keys stay bounded and shard_map
+        divides evenly."""
+        if self.mesh is None:
+            return max(_pow2(n, tile), tile)
+        per = _pow2(max((n + self.n_devices - 1) // self.n_devices, 1), tile)
+        return per * self.n_devices
+
     def _params_vec(self, params: Tuple[float, ...]):
         """Device-cached score-parameter vector (uploads once per value)."""
         cache = getattr(self, "_pvec_cache", None)
         if cache is None:
             cache = self._pvec_cache = {}
         if params not in cache:
-            cache[params] = jax.device_put(
+            cache[params] = self._put_replicated(
                 np.asarray(params, dtype=np.float32))
         return cache[params]
 
@@ -211,7 +256,7 @@ class DeviceContext:
         n = _pow2(len(read_codes) + 8, 4096)
         buf = np.full(n, NCODE, dtype=np.uint8)
         buf[: len(read_codes)] = read_codes
-        self.readbuf = jax.device_put(buf)
+        self.readbuf = self._put_replicated(buf)
         self.readbuf_len = len(read_codes)
         self.stats["upload_s"] += time.perf_counter() - t0
         return self.readbuf
@@ -246,7 +291,7 @@ class DeviceContext:
                   and not os.environ.get("NGMLR_TPU_NO_PALLAS") else "scan")
         pending = []
         for (Rp, Qp), idxs in buckets.items():
-            P = _pow2(len(idxs), 8)
+            P = self._shard_B(len(idxs), 8)
             # ONE packed upload per bucket — each host->device transfer costs
             # ~17 ms latency on the tunnel
             pk = np.zeros((P, 7), dtype=np.int32)
@@ -257,9 +302,8 @@ class DeviceContext:
                 pku[bi, 1] = p.ref.hi
                 pk[bi, 2:7] = (p.ref.diff, p.ref.W,
                                p.qry.start, p.qry.length, 1 if p.qry.rev else 0)
-            scores = _score_kernel(self.genome, readbuf,
-                                   jnp.asarray(pk), Rp=Rp, Qp=Qp, impl=s_impl)
-            pending.append((idxs, scores))
+            scores, cnt = self._score_call(readbuf, pk, Rp, Qp, s_impl)
+            pending.append((idxs, scores, cnt))
             self.stats["score_waves"] += 1
             self.stats["cells_score"] += len(idxs) * Rp * Qp
             self.stats["cells_score_useful"] += sum(
@@ -297,25 +341,38 @@ class DeviceContext:
             idxs = np.nonzero(key == k)[0]
             rp, qp = int(k >> 20), int(k & ((1 << 20) - 1))
             n = len(idxs)
-            Pp = _pow2(n, 8)
+            Pp = self._shard_B(n, 8)
             pkb = np.zeros((Pp, 7), dtype=np.int32)
             pkb[:n] = pk[idxs]
-            scores = _score_kernel(self.genome, readbuf,
-                                   jnp.asarray(pkb), Rp=rp, Qp=qp,
-                                   impl=s_impl)
-            pending.append((idxs, scores))
+            scores, cnt = self._score_call(readbuf, pkb, rp, qp, s_impl)
+            pending.append((idxs, scores, cnt))
             self.stats["score_waves"] += 1
             self.stats["cells_score"] += n * rp * qp
             self.stats["cells_score_useful"] += int(
                 np.sum(W[idxs] * qlen[idxs]))
-        fetched = jax.device_get([s for _, s in pending])
-        for (idxs, _), scores in zip(pending, fetched):
+        fetched, cnts = jax.device_get(
+            [[s for _, s, _ in pending],
+             [c for _, _, c in pending if c is not None]])
+        for c in cnts:
+            self.stats["mesh_problems_psum"] = (
+                self.stats.get("mesh_problems_psum", 0) + int(c))
+        for (idxs, _, _), scores in zip(pending, fetched):
             out[idxs] = scores[:len(idxs)]
         # ssw maxSeqLen guard (StrippedSW.h:87), as in score_finalize
         out[(W + 1 >= MAX_SEQ_LEN) | (qlen + 1 >= MAX_SEQ_LEN)] = -1.0
         self.stats["score_problems"] += P
         self.stats["score_s"] += time.perf_counter() - t0
         return out
+
+    def _score_call(self, readbuf, pk_np: np.ndarray, Rp: int, Qp: int,
+                    impl: str):
+        """Launch one score wave, sharded over the mesh when present.
+        Returns (scores device array, on-mesh psum'd count or None)."""
+        if self.mesh is None:
+            return _score_kernel(self.genome, readbuf, jnp.asarray(pk_np),
+                                 Rp=Rp, Qp=Qp, impl=impl), None
+        return _score_kernel_mc(self.mesh, Rp, Qp, impl)(
+            self.genome, readbuf, jnp.asarray(pk_np))
 
     def score_finalize(self, pend, fetched=None) -> None:
         if pend is None:
@@ -324,8 +381,13 @@ class DeviceContext:
         t0 = time.perf_counter()
         problems, pending = pend
         if fetched is None:
-            fetched = jax.device_get([s for _, s in pending])
-        for (idxs, _), scores in zip(pending, fetched):
+            fetched, cnts = jax.device_get(
+                [[s for _, s, _ in pending],
+                 [c for _, _, c in pending if c is not None]])
+            for c in cnts:
+                self.stats["mesh_problems_psum"] = (
+                    self.stats.get("mesh_problems_psum", 0) + int(c))
+        for (idxs, _, _), scores in zip(pending, fetched):
             for bi, i in enumerate(idxs):
                 p = problems[i]
                 if (p.ref.W + 1 >= MAX_SEQ_LEN
@@ -449,8 +511,8 @@ class DeviceContext:
             Hp = _size_class(max(max(problems[i].qry.length for i in idxs), 1),
                              256)
             impl, K, BT = self._convex_impl(Wp, Hp, L, len(idxs))
-            B = (len(idxs) + BT - 1) // BT * BT
-            B = max(B, 8)
+            g = BT * self.n_devices
+            B = max((len(idxs) + g - 1) // g * g, 8 * self.n_devices)
             # ONE packed upload per bucket (~17 ms latency per transfer):
             # cols 0-1 ds/hi (u32 bits), 2-9 ints, 10-11 corridor f32 bits
             pk = np.zeros((B, 12), dtype=np.int32)
@@ -467,14 +529,20 @@ class DeviceContext:
                                 1 if p.qry.rev else 0,
                                 p.corridor_mode, p.corridor_i, p.width)
                 pkf[bi, 10:12] = p.corridor_f
-            packed_ops_dev, scalars_dev = _convex_kernel(
-                self.genome, readbuf, jnp.asarray(pk), pvec,
-                Wp=Wp, Hp=Hp, L=L, impl=impl, K=K, BT=BT)
+            if self.mesh is None:
+                packed_ops_dev, scalars_dev = _convex_kernel(
+                    self.genome, readbuf, jnp.asarray(pk), pvec,
+                    Wp=Wp, Hp=Hp, L=L, impl=impl, K=K, BT=BT)
+                cnt = None
+            else:
+                packed_ops_dev, scalars_dev, cnt = _convex_kernel_mc(
+                    self.mesh, Wp, Hp, L, impl, K, BT)(
+                        self.genome, readbuf, jnp.asarray(pk), pvec)
             # transfer only the op range actually used
             t_max = max(problems[i].T for i in idxs)
             n4 = min(packed_ops_dev.shape[1],
                      ((t_max + 3) // 4 + 255) // 256 * 256)
-            pending.append((idxs, packed_ops_dev[:, :n4], scalars_dev))
+            pending.append((idxs, packed_ops_dev[:, :n4], scalars_dev, cnt))
             self.stats["align_waves"] += 1
             self.stats["cells_align"] += len(idxs) * (Wp + Hp) * L
             self.stats["cells_align_useful"] += sum(
@@ -492,10 +560,15 @@ class DeviceContext:
         t0 = time.perf_counter()
         problems, pending = pend
         if fetched is None:
-            fetched = jax.device_get([(p, s) for _, p, s in pending])
+            fetched, cnts = jax.device_get(
+                [[(p, s) for _, p, s, _ in pending],
+                 [c for _, _, _, c in pending if c is not None]])
+            for c in cnts:
+                self.stats["mesh_problems_psum"] = (
+                    self.stats.get("mesh_problems_psum", 0) + int(c))
         n_ok = 0
         corr_sum = 0
-        for (idxs, _, _), (packed, scalars) in zip(pending, fetched):
+        for (idxs, _, _, _), (packed, scalars) in zip(pending, fetched):
             for bi, i in enumerate(idxs):
                 p = problems[i]
                 (score_i, bx, by, sx, sy, okf) = scalars[bi]
@@ -584,6 +657,56 @@ def _score_kernel(genome, readbuf, pk, Rp: int, Qp: int,
     b0 = jnp.zeros((q.shape[0],), dtype=jnp.int32)
     (_, best), _ = jax.lax.scan(step, (h0, b0), ref.T, unroll=8)
     return best.astype(jnp.float32)
+
+
+def _shard_map(body, mesh, in_specs, out_specs):
+    try:
+        from jax.experimental.shard_map import shard_map as sm
+    except ImportError:                      # newer jax moved it
+        from jax import shard_map as sm
+    # the varying-manual-axes analysis rejects scan carries initialized
+    # from unvarying zeros inside the per-device body; the bodies are
+    # plain per-shard compute + one explicit psum, so disable it
+    for kw in ("check_vma", "check_rep"):
+        try:
+            return sm(body, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, **{kw: False})
+        except TypeError:
+            continue
+    return sm(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+@functools.lru_cache(maxsize=None)
+def _score_kernel_mc(mesh, Rp: int, Qp: int, impl: str):
+    """shard_map'd twin of _score_kernel: problems sharded over the 'dp'
+    mesh axis, genome/read buffer replicated. Also psums the per-device
+    real-problem count on-mesh (the reference's atomic counters,
+    PlatformSpecifics.h:60-82)."""
+    from jax.sharding import PartitionSpec as P
+
+    def body(g, rb, pk):
+        s = _score_kernel(g, rb, pk, Rp=Rp, Qp=Qp, impl=impl)
+        cnt = jax.lax.psum(jnp.sum((pk[:, 5] > 0).astype(jnp.int32)), "dp")
+        return s, cnt
+
+    return jax.jit(_shard_map(body, mesh, (P(), P(), P("dp")),
+                              (P("dp"), P())))
+
+
+@functools.lru_cache(maxsize=None)
+def _convex_kernel_mc(mesh, Wp: int, Hp: int, L: int, impl: str,
+                      K: int, BT: int):
+    """shard_map'd twin of _convex_kernel (see _score_kernel_mc)."""
+    from jax.sharding import PartitionSpec as P
+
+    def body(g, rb, pk, params):
+        packed, scalars = _convex_kernel(g, rb, pk, params, Wp=Wp, Hp=Hp,
+                                         L=L, impl=impl, K=K, BT=BT)
+        cnt = jax.lax.psum(jnp.sum((pk[:, 5] > 0).astype(jnp.int32)), "dp")
+        return packed, scalars, cnt
+
+    return jax.jit(_shard_map(body, mesh, (P(), P(), P("dp"), P()),
+                              (P("dp"), P("dp"), P())))
 
 
 def _corridor_offs(mode, ci, pf, i_f32, i_int):

@@ -47,7 +47,12 @@ class Pipeline:
             kmer_skip=cfg.kmer_skip, bin_size=cfg.bin_size,
             max_prefix_freq=cfg.max_prefix_freq,
             use_cache=use_cache, skip_save=cfg.skip_save)
-        self.ctx = device_engine.DeviceContext(self.ref.codes)
+        # -t/--threads maps to the device count (the reference's worker
+        # pool, NGM.cpp:334-348, becomes data parallelism over wave
+        # problems on a local device mesh; output is bit-identical for
+        # any -t, like the reference's test_3 determinism contract)
+        self.ctx = device_engine.DeviceContext(self.ref.codes,
+                                               n_devices=cfg.threads)
         device_engine.set_current(self.ctx)
         # candidate search runs on device when a chip is present (the
         # host path is the oracle/CPU fallback; at human scale it

@@ -59,3 +59,34 @@ def test_sharded_wavefront_matches_single_device():
     np.testing.assert_array_equal(np.asarray(by0), np.asarray(by1))
     np.testing.assert_array_equal(np.asarray(bx0), np.asarray(bx1))
     np.testing.assert_array_equal(np.asarray(dirs0), np.asarray(dirs1))
+
+
+def test_full_pipeline_on_mesh_matches_single_device():
+    """VERDICT r1 item 2/7: one Pipeline invocation drives the whole
+    mapper with waves sharded over all 8 virtual devices (-t 8) and the
+    SAM output byte-matches the single-device run."""
+    import io
+    import os
+    from ngmlr_tpu.cli import build_parser, config_from_args
+    from ngmlr_tpu.pipeline.runner import Pipeline
+    from conftest import DATA_DIR
+
+    argv = ["-r", os.path.join(DATA_DIR, "test_2/ref_chr21_20kb.fa"),
+            "-q", os.path.join(DATA_DIR, "test_2/reads_100_2200bp.fa")]
+
+    def run(threads):
+        args = build_parser().parse_args(argv + ["-t", str(threads)])
+        cfg = config_from_args(args, argv)
+        pipeline = Pipeline(cfg, args.reference, use_cache=True)
+        if threads > 1:
+            assert pipeline.ctx.mesh is not None
+            assert pipeline.ctx.n_devices == threads
+        buf = io.BytesIO()
+        pipeline.run(args.query, buf)
+        if threads > 1:
+            # the reference's atomic counters ride the mesh as psums
+            assert pipeline.ctx.stats.get("mesh_problems_psum", 0) > 0
+        return [l for l in buf.getvalue().split(b"\n")
+                if not l.startswith(b"@PG")]
+
+    assert run(8) == run(1)
