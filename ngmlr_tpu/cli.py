@@ -114,10 +114,49 @@ def config_from_args(args, argv) -> Config:
     return apply_preset(cfg, args.presets)
 
 
+def _start_quit_listener():
+    """The reference's 'Q'x3 keyboard abort (_NGM::InitQuit,
+    NGM.cpp:272-287). Upstream it is dead code — InitQuit has no call
+    site in the shipped tree — so this honors the intended semantics:
+    first 'Q' warns, third aborts. Only armed when stdin is an
+    interactive TTY (never when reads are piped in)."""
+    if not sys.stdin.isatty():
+        return
+    import os
+    import threading
+    from .log import Log
+
+    def listen():
+        state = 0
+        while True:
+            try:
+                ch = sys.stdin.read(1)
+            except Exception:
+                return
+            if not ch:
+                return
+            if ch in "qQ":
+                state += 1
+                if state == 1:
+                    Log.warning("Hit 'Q' two more times to quit program.")
+                elif state >= 3:
+                    try:
+                        Log.error("Terminate by user request")
+                    except SystemExit:
+                        pass
+                    os._exit(1)
+
+    threading.Thread(target=listen, daemon=True).start()
+
+
 def main(argv=None):
     import os
     argv = argv if argv is not None else sys.argv[1:]
     args = build_parser().parse_args(argv)
+    from .log import Log
+    Log.configure(color=args.color, verbose=args.verbose)
+    if args.query != "/dev/stdin":
+        _start_quit_listener()
     if os.environ.get("JAX_PLATFORMS"):
         # a sitecustomize on the target host latches the platform before
         # env vars are consulted — honor the user's choice explicitly
@@ -157,9 +196,15 @@ def main(argv=None):
     finally:
         if args.output:
             out.close()
-    sys.stderr.write(
-        f"Done ({stats['mapped']} reads mapped, "
-        f"{stats['unmapped']} reads not mapped)\n")
+    # the reference's final summary (main.cpp:109): mapped %, lines
+    # written, elapsed minutes, reads/s
+    mapped, unmapped = stats["mapped"], stats["unmapped"]
+    elapsed = max(stats.get("elapsed_s", 0.0), 1e-9)
+    Log.message(
+        "Done (%i reads mapped (%.2f%%), %i reads not mapped, "
+        "%i lines written)(elapsed: %dm, %d r/s)",
+        mapped, mapped * 100.0 / max(1, mapped + unmapped), unmapped,
+        stats.get("lines", 0), int(elapsed / 60.0), int(mapped / elapsed))
     return 0
 
 

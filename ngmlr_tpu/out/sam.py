@@ -31,6 +31,7 @@ class SamWriter:
         self.ref = ref
         self.cfg = cfg
         self.out = stream
+        self.lines = 0   # alignment lines written (NGM.GetWrittenReadCount)
 
     # ------------------------------------------------------------------
 
@@ -167,6 +168,7 @@ class SamWriter:
             tags.append("".join(cg))
 
         self.out.write(("\t".join(fields + tags) + "\n").encode())
+        self.lines += 1
 
     def _write_unmapped(self, read: Read, flags: int = 0):
         """DoWriteUnmappedReadGeneric (SAMWriter.cpp:308-362)."""
@@ -182,3 +184,4 @@ class SamWriter:
         if self.cfg.rg_id:
             fields.append(f"RG:Z:{self.cfg.rg_id}")
         self.out.write(("\t".join(fields) + "\n").encode())
+        self.lines += 1

@@ -195,8 +195,8 @@ class WaveBatcher:
                 # reference semantics: a failing read logs and the run
                 # continues (NGMTask.cpp:19-31, NGM.cpp:262-265); the
                 # caller sees None and writes the read as unmapped
-                sys.stderr.write(
-                    f"Error while processing read job {i}: {e!r}\n")
+                from ..log import Log
+                Log.warning("Error while processing read job %d: %r", i, e)
                 results[i] = None
         return results
 

@@ -126,6 +126,8 @@ class Pipeline:
                 self._emit(batch, prep, outcomes, job_key, writer)
                 if progress:
                     self._progress_line(t0)
+        self.stats["lines"] = writer.lines
+        self.stats["elapsed_s"] = time.time() - t0
         return self.stats
 
     def _progress_line(self, t0: float):
@@ -143,16 +145,17 @@ class Pipeline:
         al_s = ds.get("align_s", 0.0)
         tot_s = max(cs_s + sc_s + al_s, 1e-9)
         a_all = max(ds.get("alignment_all", 0), 1)
-        sys.stderr.write(
+        from ..log import Log
+        Log.progress(
             "Processed: %d (%.2f), R/S: %.2f, RL: %d, "
-            "Time: %.2f %.2f %.2f, Align: %.2f, %d, %.2f\r\n"
-            % (n, mapped / n, n / el,
-               self._read_bp // n,
-               100.0 * cs_s / tot_s, 100.0 * sc_s / tot_s,
-               100.0 * al_s / tot_s,
-               ds.get("alignment_ok", 0) / a_all,
-               ds.get("corridor_sum", 0) // a_all,
-               self.stats.get("align_frac_sum", 0.0) / max(1, mapped)))
+            "Time: %.2f %.2f %.2f, Align: %.2f, %d, %.2f",
+            n, mapped / n, n / el,
+            self._read_bp // n,
+            100.0 * cs_s / tot_s, 100.0 * sc_s / tot_s,
+            100.0 * al_s / tot_s,
+            ds.get("alignment_ok", 0) / a_all,
+            ds.get("corridor_sum", 0) // a_all,
+            self.stats.get("align_frac_sum", 0.0) / max(1, mapped))
 
     # ------------------------------------------------------------------
 
@@ -273,7 +276,8 @@ class Pipeline:
                     except BaseException as e:
                         if os.environ.get("NGMLR_TPU_STRICT"):
                             raise
-                        sys.stderr.write(f"Error processing read: {e!r}\n")
+                        from ..log import Log
+                        Log.warning("Error processing read: %r", e)
                         outcomes.append(None)
             finally:
                 _batcher.set_thread_batcher(None)
