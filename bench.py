@@ -107,6 +107,12 @@ class _StackSampler:
 
 
 def main():
+    if os.environ.get("JAX_PLATFORMS"):
+        # a sitecustomize on the target host latches the platform before
+        # env vars are consulted — honor the user's choice explicitly
+        # (same dance as cli.py)
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from ngmlr_tpu.config import Config
     from ngmlr_tpu.pipeline.runner import Pipeline
 
