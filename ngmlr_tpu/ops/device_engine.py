@@ -442,8 +442,29 @@ class DeviceContext:
         pend = self.align_dispatch(problems, params, readbuf)
         self.align_finalize(pend)
 
+    @staticmethod
+    def _lane_bound(p: "AlignProblem") -> int:
+        """Upper bound on the max anti-diagonal window height (lanes the
+        kernel must hold). The corridor's cross-section along x+y=t is
+        roughly width/(1 + 1/k) — a LINEAR corridor (k=1) occupies only
+        every other (x-y) parity at fixed t, so half its width — which
+        halves the padded lane count vs the naive width+3. The kernels
+        report the realized max height (hmax scalar); align_finalize
+        re-runs conservatively if this bound is ever exceeded, so a bound
+        bug degrades speed, never correctness."""
+        w = p.width
+        if p.corridor_mode == CORRIDOR_LINEAR:
+            b = w // 2 + 4
+        elif p.corridor_mode in (CORRIDOR_ENDPOINTS, CORRIDOR_ANCHORS):
+            k = float(p.corridor_f[0])
+            b = int(w * k / (k + 1.0)) + 6 if k > 0 else w + 3
+        else:                                   # CORRIDOR_FULL
+            b = w + 3
+        return max(min(b, w + 3, p.ref.W + 2, p.qry.length + 2), 8)
+
     def align_dispatch(self, problems: Sequence[AlignProblem],
-                       params: Tuple[float, ...], readbuf=None):
+                       params: Tuple[float, ...], readbuf=None,
+                       conservative_L: bool = False):
         if not problems:
             return None
         readbuf = self.readbuf if readbuf is None else readbuf
@@ -458,7 +479,7 @@ class DeviceContext:
         buckets = {}
         for i, p in enumerate(problems):
             # lanes: multiples of 128 up to 1024, then size classes
-            w = p.width + 3
+            w = (p.width + 3) if conservative_L else self._lane_bound(p)
             L = (w + 127) // 128 * 128 if w <= 1024 else _size_class(w, 1024)
             buckets.setdefault(L, []).append(i)
         pvec = self._params_vec(tuple(params))
@@ -542,7 +563,7 @@ class DeviceContext:
             t_max = max(problems[i].T for i in idxs)
             n4 = min(packed_ops_dev.shape[1],
                      ((t_max + 3) // 4 + 255) // 256 * 256)
-            pending.append((idxs, packed_ops_dev[:, :n4], scalars_dev, cnt))
+            pending.append((idxs, packed_ops_dev[:, :n4], scalars_dev, cnt, L))
             self.stats["align_waves"] += 1
             self.stats["cells_align"] += len(idxs) * (Wp + Hp) * L
             self.stats["cells_align_useful"] += sum(
@@ -551,27 +572,35 @@ class DeviceContext:
                 for i in idxs)
         self.stats["align_problems"] += len(problems)
         self.stats["align_s"] += time.perf_counter() - t0
-        return (problems, pending)
+        return (problems, pending, params, readbuf)
 
     def align_finalize(self, pend, fetched=None) -> None:
         if pend is None:
             return
         import time
         t0 = time.perf_counter()
-        problems, pending = pend
+        problems, pending, params, readbuf = pend
         if fetched is None:
             fetched, cnts = jax.device_get(
-                [[(p, s) for _, p, s, _ in pending],
-                 [c for _, _, _, c in pending if c is not None]])
+                [[(p, s) for _, p, s, _, _ in pending],
+                 [c for _, _, _, c, _ in pending if c is not None]])
             for c in cnts:
                 self.stats["mesh_problems_psum"] = (
                     self.stats.get("mesh_problems_psum", 0) + int(c))
         n_ok = 0
         corr_sum = 0
-        for (idxs, _, _, _), (packed, scalars) in zip(pending, fetched):
+        lane_retry: List[int] = []
+        for (idxs, _, _, _, L), (packed, scalars) in zip(pending, fetched):
             for bi, i in enumerate(idxs):
                 p = problems[i]
-                (score_i, bx, by, sx, sy, okf) = scalars[bi]
+                (score_i, bx, by, sx, sy, okf, hmax) = scalars[bi]
+                if int(hmax) > L:
+                    # the _lane_bound estimate was too tight for this
+                    # corridor — re-run with the conservative width+3
+                    # lane count (correctness safety net; should never
+                    # fire for the analytic bounds)
+                    lane_retry.append(i)
+                    continue
                 p.score = float(np.int32(score_i).view(np.float32))
                 p.best_x, p.best_y = int(bx), int(by)
                 p.stop_x, p.stop_y = int(sx), int(sy)
@@ -579,6 +608,14 @@ class DeviceContext:
                 p.ops = packed[bi]
                 n_ok += p.ok
                 corr_sum += p.width
+        if lane_retry:
+            self.stats["lane_bound_retries"] = (
+                self.stats.get("lane_bound_retries", 0) + len(lane_retry))
+            sub = [problems[i] for i in lane_retry]
+            self.align_finalize(self.align_dispatch(
+                sub, params, readbuf, conservative_L=True))
+            n_ok += sum(p.ok for p in sub)
+            corr_sum += sum(p.width for p in sub)
         # NGMStats corridorLen/alignmentCount/invalidAligmentCount
         # (AlignmentBuffer.cpp:60,120,188)
         self.stats["alignment_ok"] = self.stats.get("alignment_ok", 0) + n_ok
@@ -790,6 +827,9 @@ def _convex_kernel(genome, readbuf, pk, params, Wp: int, Hp: int,
 
     ymin = count_leq(key_hi)                                       # [B, Tp]
     ymax = count_leq(key_lo) - 1
+    # realized max window height — align_finalize checks it against the
+    # lane count L (the _lane_bound safety net)
+    hmax = jnp.max(ymax - ymin + 1, axis=1)                        # [B]
 
     if impl == "pallas":
         from .pallas_kernels import convex_fill, convex_backtrack
@@ -829,7 +869,7 @@ def _convex_kernel(genome, readbuf, pk, params, Wp: int, Hp: int,
         ok = (state[:, 0] == 1).astype(jnp.int32)   # DONE
         scalars = jnp.stack([
             jax.lax.bitcast_convert_type(best[:, 0], jnp.int32),
-            bx[:, 0], by[:, 0], sx[:, 0], sy[:, 0], ok], axis=1)
+            bx[:, 0], by[:, 0], sx[:, 0], sy[:, 0], ok, hmax], axis=1)
         o4 = ops_i.reshape(B, TpP // 4, 4).astype(jnp.uint8)
         packed = (o4[..., 0] | (o4[..., 1] << 2) | (o4[..., 2] << 4)
                   | (o4[..., 3] << 6)).astype(jnp.uint8)
@@ -981,7 +1021,7 @@ def _convex_kernel(genome, readbuf, pk, params, Wp: int, Hp: int,
     ok = (fstate == DONE).astype(jnp.int32)
     scalars = jnp.stack([
         jax.lax.bitcast_convert_type(best, jnp.int32),
-        bx, by, sx, sy, ok], axis=1)
+        bx, by, sx, sy, ok, hmax], axis=1)
 
     opsT = ops.T                                                # [B, Tp]
     pad = (-Tp) % 4
