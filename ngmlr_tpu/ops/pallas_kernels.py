@@ -99,7 +99,7 @@ def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
         return jnp.where(lanes == 0, jnp.zeros_like(a), r)
 
     def step(j, u, sub, ext, dirs_rows, carry):
-        s1, p1d, r1, s2, rc, qc, best, by, bx = carry
+        s1, p1d, r1, s2, rc, qc, best, bt, bym = carry
         t = tb * K + j
         o = sub * 8
         # ext: [6*BT(+pad), 8] transposed per-wavefront scalars, this group
@@ -110,17 +110,19 @@ def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
         rcpatch = ext[4 * BT + o:4 * BT + o + 8, u:u + 1]
         qcpatch = ext[5 * BT + o:5 * BT + o + 8, u:u + 1]
 
-        # incremental sequence windows (see module docstring)
+        # incremental sequence windows (see module docstring); the patch
+        # lane overwrites the roll's wrapped edge, so the bare roll needs
+        # no edge masking
         d1_is1 = dl1 == 1
         rc = jnp.where(d1_is1, rc,
-                       jnp.where(lanes == 0, rcpatch, shift_up(rc)))
+                       jnp.where(lanes == 0, rcpatch, pltpu.roll(rc, 1, 1)))
         qc = jnp.where(d1_is1,
-                       jnp.where(lanes == L - 1, qcpatch, shift_dn(qc)),
+                       jnp.where(lanes == L - 1, qcpatch,
+                                 pltpu.roll(qc, L - 1, 1)),
                        qc)
 
-        y = ym + lanes
-        x = t - y
-        valid = (lanes <= (yx - ym)) & (ym <= yx)
+        # lanes >= 0, so an empty window (yx < ym) is all-false already
+        valid = lanes <= (yx - ym)
         eq = rc == qc
 
         lf_s = jnp.where(d1_is1, shift_dn(s1), s1)
@@ -146,17 +148,25 @@ def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
 
         max_cell = jnp.maximum(jnp.maximum(lf_cell, 0.0),
                                jnp.maximum(diag_cell, up_cell))
-        c1 = del_ext & (max_cell == lf_cell)
-        c2 = (~c1) & ins_ext & (max_cell == up_cell)
-        c3 = (~c1) & (~c2) & (max_cell == diag_cell)
-        c4 = (~c1) & (~c2) & (~c3) & (max_cell == lf_cell)
-        c5 = (~c1) & (~c2) & (~c3) & (~c4) & (max_cell == up_cell)
-        new_d = jnp.where(c1 | c4, DEL,
-                          jnp.where(c2 | c5, INS,
-                                    jnp.where(c3, DIAG, STOP))).astype(jnp.int32)
-        new_r = jnp.where(c1, lf_r + 1,
-                          jnp.where(c2, up_r + 1,
-                                    jnp.where(c4 | c5, 1, 0))).astype(jnp.int32)
+        # D-ext > I-ext > diag > D-open > I-open > STOP priority via nested
+        # wheres (the nesting IS the ~c1/~c2 guard chain, without the nots)
+        m_lf = max_cell == lf_cell
+        m_up = max_cell == up_cell
+        m_diag = max_cell == diag_cell
+        e1 = del_ext & m_lf
+        e2 = ins_ext & m_up
+        new_d = jnp.where(e1, DEL,
+                          jnp.where(e2, INS,
+                                    jnp.where(m_diag, DIAG,
+                                              jnp.where(m_lf, DEL,
+                                                        jnp.where(m_up, INS,
+                                                                  STOP))))
+                          ).astype(jnp.int32)
+        new_r = jnp.where(e1, lf_r + 1,
+                          jnp.where(e2, up_r + 1,
+                                    jnp.where(m_diag, 0,
+                                              jnp.where(m_lf | m_up, 1, 0)))
+                          ).astype(jnp.int32)
         new_s = jnp.where(new_d == STOP, 0.0, max_cell)
 
         new_s = jnp.where(valid, new_s, 0.0)
@@ -169,13 +179,15 @@ def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
         # keeps the row-major-first cell within a lane (y grows with t on a
         # lane, and x grows at constant y), so a single cross-lane lex
         # reduction at the very end reproduces the reference's sequential
-        # first-strict-maximum rule exactly
+        # first-strict-maximum rule exactly. Only (t, ymin) at the update
+        # are tracked; y = ym + lane and x = t - y are reconstructed in the
+        # final reduction.
         cand = jnp.where(valid, new_s, -jnp.inf)
         upd = cand > best
         best = jnp.where(upd, cand, best)
-        by = jnp.where(upd, y, by)
-        bx = jnp.where(upd, x, bx)
-        return (new_s, new_d, new_r, s1, rc, qc, best, by, bx)
+        bt = jnp.where(upd, t, bt)
+        bym = jnp.where(upd, ym, bym)
+        return (new_s, new_d, new_r, s1, rc, qc, best, bt, bym)
 
     # grouped loop: 8 wavefronts per iteration so the scalar loads and the
     # direction-row store land at provably 8-aligned sublane offsets
@@ -222,7 +234,11 @@ def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
 
     @pl.when(tb == nT - 1)
     def _():
-        bl_s, bl_y, bl_x = bb_ref[:], bby_ref[:], bbx_ref[:]
+        # bby/bbx hold (t, ymin) at each lane's best; reconstruct y/x
+        bl_s, bl_t, bl_ym = bb_ref[:], bby_ref[:], bbx_ref[:]
+        lanesB = _iota((BT, L), 1)
+        bl_y = bl_ym + lanesB
+        bl_x = bl_t - bl_y
         m = jnp.max(bl_s, axis=1, keepdims=True)
         is_m = bl_s == m
         y_min = jnp.min(jnp.where(is_m, bl_y, BIG), axis=1, keepdims=True)

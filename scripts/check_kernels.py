@@ -21,9 +21,22 @@ from ngmlr_tpu.ops import device_engine as de
 
 
 def main():
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor the env var under the host's platform latch (see cli.py)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     if jax.default_backend() != "tpu":
-        print("SKIP: no TPU backend (pallas path only exists on TPU)")
-        return 0
+        # no chip: run the Mosaic kernels in Pallas TPU *interpret* mode on
+        # the CPU backend — slower, but the same kernel source, so logic
+        # changes are still verified bit-for-bit against the scan twin
+        from contextlib import ExitStack
+        from jax.experimental.pallas import tpu as pltpu
+        if not hasattr(pltpu, "force_tpu_interpret_mode"):
+            print("SKIP: no TPU backend and no pallas interpret mode")
+            return 0
+        print("no TPU backend -> pallas TPU interpret mode on CPU")
+        stack = ExitStack()
+        stack.enter_context(pltpu.force_tpu_interpret_mode())
+        os.environ["NGMLR_TPU_INTERPRET"] = "1"
     rng = np.random.default_rng(int(os.environ.get("SEED", "7")))
     G = 200_000
     genome = jnp.asarray(rng.integers(0, 5, size=G).astype(np.uint8))
