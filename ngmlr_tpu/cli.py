@@ -167,7 +167,12 @@ def main(argv=None):
     if args.subread_aligner not in (0, 1, 2, 3):
         sys.stderr.write(f"Invalid subread aligner: {args.subread_aligner}\n")
         return 1
-    shard, n_shards = 0, 1
+    # multi-host bootstrap (no-op unless NGMLR_TPU_COORDINATOR is set):
+    # each process maps its round-robin read shard; merge the per-host
+    # SAMs with scripts/merge_sams.py (deterministic reference order)
+    from .parallel.mesh import init_distributed
+    proc_id, n_procs = init_distributed()
+    shard, n_shards = proc_id, n_procs
     if args.shard:
         try:
             fields = args.shard.split("/")

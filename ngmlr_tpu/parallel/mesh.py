@@ -45,3 +45,33 @@ def shard_read_ids(n_reads: int, host_id: int, n_hosts: int) -> range:
     """Static per-host input shard (round-robin blocks by intake order)."""
     per = (n_reads + n_hosts - 1) // n_hosts
     return range(host_id * per, min(n_reads, (host_id + 1) * per))
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Multi-host runtime init — the reference's single-binary pthread pool
+    (NGM.cpp:334-348) generalized across hosts: one ngmlr-tpu process per
+    host, jax.distributed for device/mesh bootstrap, reads data-parallel
+    across processes (each maps every Nth read; outputs merge
+    deterministically with scripts/merge_sams.py).
+
+    Coordination comes from explicit args or the environment:
+    NGMLR_TPU_COORDINATOR=host:port, NGMLR_TPU_NUM_PROCS,
+    NGMLR_TPU_PROC_ID — or any cluster env jax.distributed auto-detects
+    (GKE/TPU-VM metadata). No coordinator configured => single-process
+    no-op, returns (0, 1).
+
+    Returns (process_index, process_count)."""
+    import os
+    coordinator = coordinator or os.environ.get("NGMLR_TPU_COORDINATOR")
+    if coordinator is None:
+        return 0, 1
+    if num_processes is None and os.environ.get("NGMLR_TPU_NUM_PROCS"):
+        num_processes = int(os.environ["NGMLR_TPU_NUM_PROCS"])
+    if process_id is None and os.environ.get("NGMLR_TPU_PROC_ID"):
+        process_id = int(os.environ["NGMLR_TPU_PROC_ID"])
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_index(), jax.process_count()
