@@ -170,6 +170,11 @@ def main():
     if os.environ.get("BENCH_BATCH_READS"):
         cfg.batch_reads = int(os.environ["BENCH_BATCH_READS"])
     pipeline = Pipeline(cfg, ref_path, use_cache=True)
+    if os.environ.get("BENCH_PREP_ONLY"):
+        # generate workdir + encoded-ref/index caches only (run on CPU so
+        # the chip-time bench pays neither generation nor index build)
+        print(json.dumps({"metric": "bench_prep", "workdir": tmpdir}))
+        return
 
     # warmup: trigger kernel compiles/traces — once on the spread of warmup
     # lengths, once on the timed set itself so the timed pass measures
