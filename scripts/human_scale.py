@@ -101,7 +101,9 @@ def main():
                      % (enc_s, len(ref.codes), peak_rss_gb()))
 
     t0 = time.time()
-    idx = KmerIndex.load_or_build(ref, fa, use_cache=False, skip_save=True)
+    # cache the index next to the FASTA so a later --map run (on the
+    # chip) skips the rebuild; build_s is only meaningful on a cold cache
+    idx = KmerIndex.load_or_build(ref, fa, use_cache=True)
     build_s = time.time() - t0
     n_pos = len(idx.positions)
     idx_gb = (idx.bucket_start.nbytes + idx.positions.nbytes) / 1e9
