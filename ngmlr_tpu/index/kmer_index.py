@@ -87,17 +87,25 @@ def revcomp_prefix(prefix, k: int):
 
     Complement = XOR each 2-bit group with 0b10 (PrefixTable.cpp:70-88),
     then reverse the k groups. Works on scalars or numpy arrays; large
-    arrays compose two half-k lookup tables instead of looping k shifts.
+    arrays compose two half-k lookup tables instead of looping k shifts,
+    staying in int32 with in-place ops (the int64 expression churn cost
+    ~20x in fresh-page allocations on the target host).
     """
-    p = np.asarray(prefix, dtype=np.int64)
+    p = np.asarray(prefix)
     if p.ndim == 0 or p.size < 4096 or k < 4:
-        return _revcomp_loop(p, k)
+        return _revcomp_loop(np.asarray(prefix, dtype=np.int64), k)
     k_hi = k // 2
     k_lo = k - k_hi
-    lo_t = _rc_half(k_lo)
-    hi_t = _rc_half(k_hi)
+    lo_t = _rc_half(k_lo).astype(np.int32)
+    hi_t = _rc_half(k_hi).astype(np.int32)
     # p = hi * 4^k_lo + lo ; rc(p) = rc(lo) * 4^k_hi + rc(hi)
-    return (lo_t[p & (4 ** k_lo - 1)] << (2 * k_hi)) | hi_t[p >> (2 * k_lo)]
+    p32 = p.astype(np.int32, copy=False)
+    tmp = np.bitwise_and(p32, np.int32(4 ** k_lo - 1))
+    out = lo_t[tmp]
+    np.left_shift(out, 2 * k_hi, out=out)
+    np.right_shift(p32, np.int32(2 * k_lo), out=tmp)
+    np.bitwise_or(out, hi_t[tmp], out=out)
+    return out
 
 
 def kmer_stream(chars: np.ndarray, k: int, stride: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -129,15 +137,28 @@ def kmer_stream(chars: np.ndarray, k: int, stride: int) -> Tuple[np.ndarray, np.
     total = int(nw.sum())
     if total == 0:
         return np.zeros(0, np.int32), np.zeros(0, np.int64)
-    rep_start = np.repeat(run_starts, nw)
-    off = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(nw) - nw, nw)
-    starts = rep_start + off * stride
+    # int32 coordinates (chromosome-local, < 2^31) + reused gather buffers:
+    # the previous int64 expression forms allocated ~25 fresh bytes per
+    # genome base, and fresh pages fault at 30 MB/s-2 GB/s on this host
+    it = np.int32 if n < 2 ** 31 else np.int64
+    rep_start = np.repeat(run_starts.astype(it), nw)
+    off = np.arange(total, dtype=it)
+    off -= np.repeat((np.cumsum(nw) - nw).astype(it), nw)
+    starts = rep_start
+    if stride != 1:
+        np.multiply(off, it(stride), out=off)
+    starts += off
 
-    codes = ((chars >> np.uint8(1)) & np.uint8(3))
+    codes = (chars >> np.uint8(1))
+    np.bitwise_and(codes, np.uint8(3), out=codes)
+    idx = off            # reuse as the per-pass gather index buffer
+    gat = np.empty(total, dtype=np.uint8)
     val = np.zeros(total, dtype=np.int32)
     for j in range(k):
         np.left_shift(val, 2, out=val)
-        np.bitwise_or(val, codes[starts + j], out=val)
+        np.add(starts, it(j), out=idx)
+        np.take(codes, idx, out=gat)
+        np.bitwise_or(val, gat, out=val)
     return val, starts
 
 
@@ -177,7 +198,8 @@ class KmerIndex:
             buf = decoded + b"\x00" * (length - len(decoded))
             chars = np.frombuffer(buf, dtype=np.uint8)
             prefixes, starts = kmer_stream(chars, k, stride)
-            pos = starts + offset
+            # starts are chromosome-local int32; concat coords need int64
+            pos = starts.astype(np.int64) + offset
             # same-prefix same-bin dedup (CountKmer, PrefixTable.cpp:372-393);
             # state resets per chromosome. Subtlety: a prefix change sets
             # lastBin = -1, so the SECOND emission of a same-prefix run is
@@ -215,14 +237,18 @@ class KmerIndex:
             # rc is a bijection, so bincount(rc(prefixes))[p] ==
             # freq[rc(p)]: two sequential bincounts replace the 4^k-sized
             # random gather total[revcomp_table] (67M cache misses, ~20 s)
-            total = np.bincount(prefixes, minlength=n_prefix)
-            total += np.bincount(revcomp_prefix(prefixes, k),
-                                 minlength=n_prefix)
+            fwd_cnt = np.bincount(prefixes, minlength=n_prefix)
+            total = fwd_cnt + np.bincount(revcomp_prefix(prefixes, k),
+                                          minlength=n_prefix)
             used_p = total <= thr
             used_p[n_prefix - 1] = False  # poly-G (PrefixTable.cpp:289)
             keep = used_p[prefixes]
-            del total
+            # kept-bucket counts fall out of the forward histogram — the
+            # post-sort bincount below is skipped in this regime
+            kept_cnt = np.where(used_p, fwd_cnt, 0)
+            del total, fwd_cnt
         else:
+            kept_cnt = None
             uniq, inv, cnt = np.unique(prefixes, return_inverse=True,
                                        return_counts=True)
             rc_u = revcomp_prefix(uniq, k)
@@ -237,10 +263,25 @@ class KmerIndex:
             keep = used_u[inv]
 
         prefixes = prefixes[keep]
-        pos = pos[keep]
-        order = np.argsort(prefixes, kind="stable")  # scan order within bucket
-        sorted_prefix = prefixes[order]
-        positions = pos[order].astype(np.uint32)  # concat coords < 2^32
+        pos = pos[keep].astype(np.uint32)   # concat coords < 2^32; the
+        # narrowing halves the traffic of the permutation gather below
+        # stable sort by prefix via one packed int64 key (prefix << shift
+        # | stream index): numpy's vectorized int64 sort is ~15x faster
+        # than a stable int32 argsort on this host, and the low-bit index
+        # keeps the within-bucket stream order exactly. 2k prefix bits +
+        # (63 - 2k) index bits; the index space (>= 2^33 at k=15) always
+        # covers the uint32 position-count ceiling.
+        shift = 63 - 2 * k
+        assert len(prefixes) < (1 << shift)
+        key = prefixes.astype(np.int64)
+        np.left_shift(key, shift, out=key)
+        np.bitwise_or(key, np.arange(len(key), dtype=np.int64), out=key)
+        key.sort()
+        order = np.bitwise_and(key, (1 << shift) - 1)
+        positions = pos[order]
+        np.right_shift(key, shift, out=key)
+        sorted_prefix = key.astype(np.int32)
+        del key, order
 
         if len(sorted_prefix) * 128 >= n_prefix:
             # dense representation: O(1) bucket lookup. int32 offsets only
@@ -250,7 +291,8 @@ class KmerIndex:
             # cannot silently wrap.
             dt = np.int32 if len(sorted_prefix) < 2 ** 31 else np.int64
             bucket_start = np.zeros(n_prefix + 1, dtype=dt)
-            counts = np.bincount(sorted_prefix, minlength=n_prefix)
+            counts = (kept_cnt if kept_cnt is not None
+                      else np.bincount(sorted_prefix, minlength=n_prefix))
             np.cumsum(counts, dtype=dt, out=bucket_start[1:])
             return cls(k, bucket_start, positions, bin_size, kmer_skip)
         # sparse representation: searchsorted over the unique prefix list
