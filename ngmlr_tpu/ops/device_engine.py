@@ -211,6 +211,10 @@ class DeviceContext:
         self._i32 = self.genome_len < 2 ** 31 - 2
         # observability (the reference's csTime/scoreTime/alignTime split,
         # NGMStats.h:11-54): wall seconds + launch/problem counts per stage
+        import threading as _threading
+        # stats are mutated from concurrent finalize threads (parallel
+        # per-bucket fetches) — guard the read-modify-write updates
+        self._stats_lock = _threading.Lock()
         self.stats = {"score_s": 0.0, "score_waves": 0, "score_problems": 0,
                       "align_s": 0.0, "align_waves": 0, "align_problems": 0,
                       "upload_s": 0.0,
@@ -384,9 +388,10 @@ class DeviceContext:
             fetched, cnts = jax.device_get(
                 [[s for _, s, _ in pending],
                  [c for _, _, c in pending if c is not None]])
-            for c in cnts:
-                self.stats["mesh_problems_psum"] = (
-                    self.stats.get("mesh_problems_psum", 0) + int(c))
+            with self._stats_lock:
+                for c in cnts:
+                    self.stats["mesh_problems_psum"] = (
+                        self.stats.get("mesh_problems_psum", 0) + int(c))
         for (idxs, _, _), scores in zip(pending, fetched):
             for bi, i in enumerate(idxs):
                 p = problems[i]
@@ -395,7 +400,8 @@ class DeviceContext:
                     p.result = -1.0
                 else:
                     p.result = float(scores[bi])
-        self.stats["score_s"] += time.perf_counter() - t0
+        with self._stats_lock:
+            self.stats["score_s"] += time.perf_counter() - t0
 
     @staticmethod
     def _convex_impl(Wp: int, Hp: int, L: int,
@@ -584,9 +590,10 @@ class DeviceContext:
             fetched, cnts = jax.device_get(
                 [[(p, s) for _, p, s, _, _ in pending],
                  [c for _, _, _, c, _ in pending if c is not None]])
-            for c in cnts:
-                self.stats["mesh_problems_psum"] = (
-                    self.stats.get("mesh_problems_psum", 0) + int(c))
+            with self._stats_lock:
+                for c in cnts:
+                    self.stats["mesh_problems_psum"] = (
+                        self.stats.get("mesh_problems_psum", 0) + int(c))
         n_ok = 0
         corr_sum = 0
         lane_retry: List[int] = []
@@ -609,8 +616,9 @@ class DeviceContext:
                 n_ok += p.ok
                 corr_sum += p.width
         if lane_retry:
-            self.stats["lane_bound_retries"] = (
-                self.stats.get("lane_bound_retries", 0) + len(lane_retry))
+            with self._stats_lock:
+                self.stats["lane_bound_retries"] = (
+                    self.stats.get("lane_bound_retries", 0) + len(lane_retry))
             sub = [problems[i] for i in lane_retry]
             self.align_finalize(self.align_dispatch(
                 sub, params, readbuf, conservative_L=True))
@@ -618,12 +626,14 @@ class DeviceContext:
             corr_sum += sum(p.width for p in sub)
         # NGMStats corridorLen/alignmentCount/invalidAligmentCount
         # (AlignmentBuffer.cpp:60,120,188)
-        self.stats["alignment_ok"] = self.stats.get("alignment_ok", 0) + n_ok
-        self.stats["alignment_all"] = (self.stats.get("alignment_all", 0)
-                                       + len(problems))
-        self.stats["corridor_sum"] = (self.stats.get("corridor_sum", 0)
-                                      + corr_sum)
-        self.stats["align_s"] += time.perf_counter() - t0
+        with self._stats_lock:
+            self.stats["alignment_ok"] = (self.stats.get("alignment_ok", 0)
+                                          + n_ok)
+            self.stats["alignment_all"] = (self.stats.get("alignment_all", 0)
+                                           + len(problems))
+            self.stats["corridor_sum"] = (self.stats.get("corridor_sum", 0)
+                                          + corr_sum)
+            self.stats["align_s"] += time.perf_counter() - t0
 
 
 # ---------------------------------------------------------------------------

@@ -205,7 +205,10 @@ class WaveBatcher:
         (dispatch is async); scores fire after. NOTE: a fully combined
         single device_get for the whole wave was tried and REGRESSED both
         CPU tests (3x) and TPU throughput (~15%) — early buckets' results
-        feed workers sooner when fetched per kind."""
+        feed workers sooner when fetched per kind. When a round has
+        several result fetches, they run in parallel threads: device_get
+        releases the GIL while blocked on the ~25 ms tunnel round trip,
+        so the latencies overlap while per-bucket wakeup order stays."""
         self.ctx.stats["fire_rounds"] = \
             self.ctx.stats.get("fire_rounds", 0) + 1
         by_params = {}
@@ -219,14 +222,34 @@ class WaveBatcher:
         if scores:
             flat = [p for probs, _ in scores for p in probs]
             spend = self.ctx.score_dispatch(flat, readbuf=self.readbuf)
-        for items, pend in apends:
+
+        def fin_align(items, pend):
             self.ctx.align_finalize(pend)
             for _, ev in items:
                 ev.set()
-        if spend is not None:
+
+        def fin_score():
             self.ctx.score_finalize(spend)
-        for _, ev in scores:
-            ev.set()
+            for _, ev in scores:
+                ev.set()
+
+        jobs = [lambda it=items, pe=pend: fin_align(it, pe)
+                for items, pend in apends]
+        if spend is not None:
+            jobs.append(fin_score)
+        elif scores:   # all-empty score round: no fetch, just wake
+            for _, ev in scores:
+                ev.set()
+        if len(jobs) <= 1 or os.environ.get("NGMLR_TPU_SERIAL_FETCH"):
+            for j in jobs:
+                j()
+        else:
+            ts = [threading.Thread(target=j, daemon=True) for j in jobs[1:]]
+            for t in ts:
+                t.start()
+            jobs[0]()
+            for t in ts:
+                t.join()
 
 
 class SerialBinding:
