@@ -224,14 +224,21 @@ class WaveBatcher:
             spend = self.ctx.score_dispatch(flat, readbuf=self.readbuf)
 
         def fin_align(items, pend):
-            self.ctx.align_finalize(pend)
-            for _, ev in items:
-                ev.set()
+            try:
+                self.ctx.align_finalize(pend)
+            finally:
+                # events must fire even on error, or blocked workers hang
+                # forever; the workers then see unfilled problems (ok =
+                # False) and the per-read failure handling takes over
+                for _, ev in items:
+                    ev.set()
 
         def fin_score():
-            self.ctx.score_finalize(spend)
-            for _, ev in scores:
-                ev.set()
+            try:
+                self.ctx.score_finalize(spend)
+            finally:
+                for _, ev in scores:
+                    ev.set()
 
         jobs = [lambda it=items, pe=pend: fin_align(it, pe)
                 for items, pend in apends]
@@ -244,12 +251,23 @@ class WaveBatcher:
             for j in jobs:
                 j()
         else:
-            ts = [threading.Thread(target=j, daemon=True) for j in jobs[1:]]
+            errs = []
+
+            def run(j):
+                try:
+                    j()
+                except BaseException as e:   # re-raised in the coordinator
+                    errs.append(e)
+
+            ts = [threading.Thread(target=run, args=(j,), daemon=True)
+                  for j in jobs[1:]]
             for t in ts:
                 t.start()
-            jobs[0]()
+            run(jobs[0])
             for t in ts:
                 t.join()
+            if errs:
+                raise errs[0]
 
 
 class SerialBinding:
