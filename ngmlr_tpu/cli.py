@@ -195,8 +195,10 @@ def main(argv=None):
     else:
         out = sys.stdout.buffer
     try:
+        # progress defaults ON like the reference (ArgParser.cpp:113/245:
+        # progress = !noprogress); --progress remains as an explicit enable
         stats = pipeline.run(args.query, out,
-                             progress=args.progress and not args.no_progress,
+                             progress=not args.no_progress,
                              shard=shard, n_shards=n_shards)
     finally:
         if args.output:
