@@ -110,6 +110,32 @@ class _StackSampler:
             sys.stderr.write("  %6.2f%% %s\n" % (100.0 * c / max(1, self.n), key))
 
 
+def _probe_backend(timeout_s: int) -> bool:
+    """The axon TPU backend can hang indefinitely in init when the tunnel
+    is down; probe it in a killable subprocess so the bench fails fast
+    with a diagnosable JSON line instead of hanging the driver."""
+    import subprocess
+    # Popen + poll deadline, and on timeout kill WITHOUT waiting: a child
+    # stuck in the dead tunnel's uninterruptible syscall absorbs even
+    # SIGKILL only when the syscall returns, so any wait() (including
+    # subprocess.run's post-kill reap) can block forever.
+    p = subprocess.Popen(
+        [sys.executable, "-c",
+         "import os, jax\n"
+         "if os.environ.get('JAX_PLATFORMS'):\n"
+         "    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])\n"
+         "jax.devices()"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        stdin=subprocess.DEVNULL)
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if p.poll() is not None:
+            return p.returncode == 0
+        time.sleep(1.0)
+    p.kill()
+    return False
+
+
 def main():
     if os.environ.get("JAX_PLATFORMS"):
         # a sitecustomize on the target host latches the platform before
@@ -117,6 +143,13 @@ def main():
         # (same dance as cli.py)
         import jax
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    elif not _probe_backend(int(os.environ.get("BENCH_PROBE_TIMEOUT", "900"))):
+        print(json.dumps({
+            "metric": "reads_per_sec_per_chip", "value": 0.0,
+            "unit": "reads/s", "vs_baseline": 0.0,
+            "error": "device backend unreachable (tunnel down?) - "
+                     "probe timed out"}))
+        sys.exit(1)
     from ngmlr_tpu.config import Config
     from ngmlr_tpu.pipeline.runner import Pipeline
 
