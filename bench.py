@@ -161,7 +161,8 @@ def main():
     # bench invocation at a given size pays generation + index build
     tmpdir = os.path.join(
         tempfile.gettempdir(),
-        "ngmlr_bench_g%s_r%d_n%d" % (GENOME_MBP, READ_LEN, N_READS))
+        "ngmlr_bench_g%s_r%d_n%d_w%d" % (GENOME_MBP, READ_LEN, N_READS,
+                                         N_WARMUP))
     os.makedirs(tmpdir, exist_ok=True)
     ref_path = os.path.join(tmpdir, "ref.fa")
     reads_path = os.path.join(tmpdir, "reads.fa")

@@ -44,31 +44,25 @@ class _Log:
 
     # -- internals -------------------------------------------------------
 
+    def _emit(self, lvl: int, msg: str, progress: bool = False):
+        """Console write; caller holds the lock."""
+        out = []
+        if self._rewind:
+            out.append("\033[A\033[2K" * self._rewind)
+            self._rewind = 0
+        if self.color:
+            out.append("\033[%sm" % _COLORS.get(lvl, "0"))
+        out.append(msg)
+        if self.color:
+            out.append("\033[0m")
+        out.append("\n")
+        (self.stream or sys.stderr).write("".join(out))
+        if progress:
+            self._rewind = 1
+
     def _write(self, lvl: int, msg: str, progress: bool = False):
         with self._lock:
-            out = []
-            if self._rewind:
-                out.append("\033[A\033[2K" * self._rewind)
-                self._rewind = 0
-            if self.color:
-                out.append("\033[%sm" % _COLORS.get(lvl, "0"))
-            out.append(msg)
-            if self.color:
-                out.append("\033[0m")
-            out.append("\n")
-            (self.stream or sys.stderr).write("".join(out))
-            if progress:
-                self._rewind = 1
-
-    def _check_warning_cap(self):
-        terminate = False
-        if self._warning_count > 100:
-            (self.stream or sys.stderr).write(
-                "Max number of warnings reached!\nPlease report this issue "
-                "on http://github.com/Cibiv/NextGenMap/issues!\n")
-            terminate = True
-        if terminate:
-            raise SystemExit(1)
+            self._emit(lvl, msg, progress)
 
     # -- public levels (ILog.h:44-48) ------------------------------------
 
@@ -76,9 +70,19 @@ class _Log:
         self._write(0, msg % args if args else msg)
 
     def warning(self, msg: str, *args):
-        self._write(1, msg % args if args else msg)
-        self._warning_count += 1
-        self._check_warning_cap()
+        # counter + cap check under the same mutex as the write: warnings
+        # arrive from worker threads, and the cap notice must respect any
+        # pending progress-line rewind (Logging.cpp:200-216)
+        with self._lock:
+            self._emit(1, msg % args if args else msg)
+            self._warning_count += 1
+            terminate = self._warning_count > 100
+            if terminate:
+                (self.stream or sys.stderr).write(
+                    "Max number of warnings reached!\nPlease report this "
+                    "issue on http://github.com/Cibiv/NextGenMap/issues!\n")
+        if terminate:
+            raise SystemExit(1)
 
     def error(self, msg: str, *args):
         self._write(2, msg % args if args else msg)

@@ -192,7 +192,10 @@ class DeviceContext:
         self._repl = None
         if nd > 1:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec
-            self.mesh = Mesh(np.asarray(jax.devices()[:nd]), ("dp",))
+            # local_devices, not devices: under multi-host jax.distributed
+            # the global list starts with process 0's (non-addressable
+            # here) devices
+            self.mesh = Mesh(np.asarray(jax.local_devices()[:nd]), ("dp",))
             self._repl = NamedSharding(self.mesh, PartitionSpec())
         self.n_devices = nd if self.mesh is not None else 1
         self.genome_len = int(len(genome_codes))
@@ -308,12 +311,14 @@ class DeviceContext:
                                p.qry.start, p.qry.length, 1 if p.qry.rev else 0)
             scores, cnt = self._score_call(readbuf, pk, Rp, Qp, s_impl)
             pending.append((idxs, scores, cnt))
-            self.stats["score_waves"] += 1
-            self.stats["cells_score"] += len(idxs) * Rp * Qp
-            self.stats["cells_score_useful"] += sum(
-                problems[i].ref.W * problems[i].qry.length for i in idxs)
-        self.stats["score_problems"] += len(problems)
-        self.stats["score_s"] += time.perf_counter() - t0
+            with self._stats_lock:
+                self.stats["score_waves"] += 1
+                self.stats["cells_score"] += len(idxs) * Rp * Qp
+                self.stats["cells_score_useful"] += sum(
+                    problems[i].ref.W * problems[i].qry.length for i in idxs)
+        with self._stats_lock:
+            self.stats["score_problems"] += len(problems)
+            self.stats["score_s"] += time.perf_counter() - t0
         return (problems, pending)
 
     def score_wave_np(self, pk: np.ndarray, readbuf=None) -> np.ndarray:
@@ -350,22 +355,25 @@ class DeviceContext:
             pkb[:n] = pk[idxs]
             scores, cnt = self._score_call(readbuf, pkb, rp, qp, s_impl)
             pending.append((idxs, scores, cnt))
-            self.stats["score_waves"] += 1
-            self.stats["cells_score"] += n * rp * qp
-            self.stats["cells_score_useful"] += int(
-                np.sum(W[idxs] * qlen[idxs]))
+            with self._stats_lock:
+                self.stats["score_waves"] += 1
+                self.stats["cells_score"] += n * rp * qp
+                self.stats["cells_score_useful"] += int(
+                    np.sum(W[idxs] * qlen[idxs]))
         fetched, cnts = jax.device_get(
             [[s for _, s, _ in pending],
              [c for _, _, c in pending if c is not None]])
-        for c in cnts:
-            self.stats["mesh_problems_psum"] = (
-                self.stats.get("mesh_problems_psum", 0) + int(c))
+        with self._stats_lock:
+            for c in cnts:
+                self.stats["mesh_problems_psum"] = (
+                    self.stats.get("mesh_problems_psum", 0) + int(c))
         for (idxs, _, _), scores in zip(pending, fetched):
             out[idxs] = scores[:len(idxs)]
         # ssw maxSeqLen guard (StrippedSW.h:87), as in score_finalize
         out[(W + 1 >= MAX_SEQ_LEN) | (qlen + 1 >= MAX_SEQ_LEN)] = -1.0
-        self.stats["score_problems"] += P
-        self.stats["score_s"] += time.perf_counter() - t0
+        with self._stats_lock:
+            self.stats["score_problems"] += P
+            self.stats["score_s"] += time.perf_counter() - t0
         return out
 
     def _score_call(self, readbuf, pk_np: np.ndarray, Rp: int, Qp: int,
@@ -569,15 +577,22 @@ class DeviceContext:
             t_max = max(problems[i].T for i in idxs)
             n4 = min(packed_ops_dev.shape[1],
                      ((t_max + 3) // 4 + 255) // 256 * 256)
-            pending.append((idxs, packed_ops_dev[:, :n4], scalars_dev, cnt, L))
-            self.stats["align_waves"] += 1
-            self.stats["cells_align"] += len(idxs) * (Wp + Hp) * L
-            self.stats["cells_align_useful"] += sum(
-                problems[i].qry.length * min(problems[i].width,
-                                             problems[i].ref.W)
-                for i in idxs)
-        self.stats["align_problems"] += len(problems)
-        self.stats["align_s"] += time.perf_counter() - t0
+            # a conservative launch accepts its results unconditionally
+            # (hmax <= width+3 is proven for monotone corridors; the
+            # sentinel makes the retry recursion terminate even if that
+            # proof is ever violated)
+            pending.append((idxs, packed_ops_dev[:, :n4], scalars_dev, cnt,
+                            (1 << 30) if conservative_L else L))
+            with self._stats_lock:
+                self.stats["align_waves"] += 1
+                self.stats["cells_align"] += len(idxs) * (Wp + Hp) * L
+                self.stats["cells_align_useful"] += sum(
+                    problems[i].qry.length * min(problems[i].width,
+                                                 problems[i].ref.W)
+                    for i in idxs)
+        with self._stats_lock:
+            self.stats["align_problems"] += len(problems)
+            self.stats["align_s"] += time.perf_counter() - t0
         return (problems, pending, params, readbuf)
 
     def align_finalize(self, pend, fetched=None) -> None:

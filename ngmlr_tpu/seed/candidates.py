@@ -138,7 +138,7 @@ def search_batch(index: KmerIndex, seqs: List[bytes], sensitivity: float = 0.8,
     v_str = strand[vote_order]
 
     # --- per-(subread,bin,strand) running counts ---------------------------
-    if sb + eb + wb + 1 < 63 and sb + bb + 1 < 63:
+    if nonneg and sb + eb + wb + 1 < 63 and sb + bb + 1 < 63:
         grp_key = (((v_sub << bb) | v_bin) << 1) | v_str.astype(np.int64)
         grp_sort = np.argsort(grp_key, kind="stable")
     else:

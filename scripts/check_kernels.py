@@ -36,7 +36,6 @@ def main():
         print("no TPU backend -> pallas TPU interpret mode on CPU")
         stack = ExitStack()
         stack.enter_context(pltpu.force_tpu_interpret_mode())
-        os.environ["NGMLR_TPU_INTERPRET"] = "1"
     rng = np.random.default_rng(int(os.environ.get("SEED", "7")))
     G = 200_000
     genome = jnp.asarray(rng.integers(0, 5, size=G).astype(np.uint8))

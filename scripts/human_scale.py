@@ -57,10 +57,12 @@ def make_genome_fa(path: str, gbp: float, seed: int = 7):
                     s = int(rng.integers(0, max(1, blk - 100_000)))
                     seq[s:s + int(rng.integers(20_000, 100_000))] = ord("N")
                 # tandem repeat patch: ~50 kb of a 171-bp alpha-satellite-like
-                # monomer per block (stresses bin dedup + freq cutoff)
+                # monomer per block (stresses bin dedup + freq cutoff),
+                # clamped for blocks shorter than the patch
                 mono = BASES[rng.integers(0, 4, size=171)]
-                s = int(rng.integers(0, max(1, blk - 50_000)))
-                reps = 50_000 // 171
+                patch = min(50_000, blk)
+                s = int(rng.integers(0, max(1, blk - patch)))
+                reps = patch // 171
                 seq[s:s + reps * 171] = np.tile(mono, reps)
                 buf = seq.tobytes()
                 # 80-col FASTA
