@@ -666,7 +666,11 @@ def _gather_ref(genome, ds, diff, hi, W, Wp):
     pos = ds[:, None] + rel
     valid = ((i >= diff[:, None]) & (i < W[:, None]) & (pos < hi[:, None]))
     idx = jnp.minimum(pos, jnp.uint32(genome.shape[0] - 1))
-    codes = jnp.take(genome, idx.reshape(-1)).reshape(B, Wp)
+    # mode="clip": idx is already clamped, and the default mode's
+    # negative-wrap adjustment (idx + len) overflows int32 tracing for a
+    # > 2^31-byte genome with x64 off
+    codes = jnp.take(genome, idx.reshape(-1),
+                     mode="clip").reshape(B, Wp)
     return jnp.where(valid, codes, jnp.uint8(XCODE))
 
 
@@ -679,7 +683,8 @@ def _gather_qry(readbuf, start, length, rev, Qp):
     pos = start[:, None] + src
     valid = (j < length[:, None]) & (src >= 0)
     idx = jnp.clip(pos, 0, readbuf.shape[0] - 1).astype(jnp.int32)
-    codes = jnp.take(readbuf, idx.reshape(-1)).reshape(B, Qp)
+    codes = jnp.take(readbuf, idx.reshape(-1),
+                     mode="clip").reshape(B, Qp)
     comp = jnp.where(codes < 4, codes ^ 1, codes)
     codes = jnp.where(rev[:, None] == 1, comp, codes)
     return jnp.where(valid, codes, jnp.uint8(NCODE))

@@ -141,7 +141,7 @@ def main():
                     if frag.count(b"N") < L // 4:
                         break
                 r = np.frombuffer(frag, dtype=np.uint8).copy()
-                err = rng.random(L)
+                err = rng.random(len(r))       # decode returns L-1 bytes
                 r[err < 0.01] = BASES[rng.integers(0, 4, size=int((err < 0.01).sum()))]
                 f.write(b">r%d_%d\n" % (i, pos))
                 f.write(r.tobytes() + b"\n")
