@@ -81,7 +81,7 @@ def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
     def _():
         s1_ref[:] = jnp.zeros((BT, L), jnp.float32)
         p1d_ref[:] = jnp.zeros((BT, L), jnp.int32)
-        r1_ref[:] = jnp.zeros((BT, L), jnp.int32)
+        r1_ref[:] = jnp.zeros((BT, L), jnp.float32)
         s2_ref[:] = jnp.zeros((BT, L), jnp.float32)
         rc_ref[:] = jnp.zeros((BT, L), jnp.int32)
         qc_ref[:] = qry_ref[:]            # window qry[0:L] (ymin = 0)
@@ -136,12 +136,12 @@ def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
 
         diag_cell = diag_s + jnp.where(eq, mat, mis)
         ins_ext = up_d == INS
-        up_gap = jnp.minimum(gemin, ge + up_r.astype(jnp.float32) * gdecay)
+        up_gap = jnp.minimum(gemin, ge + up_r * gdecay)
         up_cell = jnp.where(ins_ext,
                             jnp.where(up_s == 0.0, 0.0, up_s + up_gap),
                             up_s + go)
         del_ext = lf_d == DEL
-        lf_gap = jnp.minimum(gemin, ge + lf_r.astype(jnp.float32) * gdecay)
+        lf_gap = jnp.minimum(gemin, ge + lf_r * gdecay)
         lf_cell = jnp.where(del_ext,
                             jnp.where(lf_s == 0.0, 0.0, lf_s + lf_gap),
                             lf_s + go)
@@ -162,16 +162,18 @@ def _fill_kernel(params_ref, active_ref, qry_ref, scal_ref,
                                                         jnp.where(m_up, INS,
                                                                   STOP))))
                           ).astype(jnp.int32)
-        new_r = jnp.where(e1, lf_r + 1,
-                          jnp.where(e2, up_r + 1,
-                                    jnp.where(m_diag, 0,
-                                              jnp.where(m_lf | m_up, 1, 0)))
-                          ).astype(jnp.int32)
+        # run lengths carry as f32 (exact below 2^24; corridors are far
+        # smaller) — saves the astype on the latency chain
+        new_r = jnp.where(e1, lf_r + 1.0,
+                          jnp.where(e2, up_r + 1.0,
+                                    jnp.where(m_diag, 0.0,
+                                              jnp.where(m_lf | m_up,
+                                                        1.0, 0.0))))
         new_s = jnp.where(new_d == STOP, 0.0, max_cell)
 
         new_s = jnp.where(valid, new_s, 0.0)
         new_d = jnp.where(valid, new_d, 0).astype(jnp.int32)
-        new_r = jnp.where(valid, new_r, 0).astype(jnp.int32)
+        new_r = jnp.where(valid, new_r, 0.0)
 
         dirs_rows[sub][u] = new_d
 
@@ -311,7 +313,7 @@ def convex_fill(params, qry0, ymin, ymax, d1, d2, rcpatch, qcpatch,
         scratch_shapes=[
             pltpu.VMEM((BT, L), jnp.float32),
             pltpu.VMEM((BT, L), jnp.int32),
-            pltpu.VMEM((BT, L), jnp.int32),
+            pltpu.VMEM((BT, L), jnp.float32),
             pltpu.VMEM((BT, L), jnp.float32),
             pltpu.VMEM((BT, L), jnp.int32),
             pltpu.VMEM((BT, L), jnp.int32),
