@@ -846,12 +846,32 @@ def _convex_kernel(genome, readbuf, pk, params, Wp: int, Hp: int,
     key_lo = jnp.where(row_ok, hrow_i + lo, BIG)
     key_hi = jnp.where(row_ok, hrow_i + hi, BIG)
     # ymin[t] = #{y: key_hi[y] <= t}, ymax[t] = #{y: key_lo[y] <= t} - 1.
-    # The keys are nonnegative; count via histogram + cumsum (a vmapped
-    # searchsorted costs ~10 ms/problem on this backend, this is ~100x less)
+    # The keys are nonnegative. Two interchangeable formulations (both
+    # exact; pick per backend with NGMLR_TPU_YMIN_IMPL=hist|sort):
+    #  * hist: scatter-add histogram + cumsum (~100x faster than a
+    #    vmapped searchsorted on this backend),
+    #  * sort: merge-rank — stable-sort keys (tag 0) against the t-grid
+    #    (tag 1); a grid element t at merged position i has exactly
+    #    i - t keys <= t. Scatter-free: for backends where scatters
+    #    serialize, two lax.sorts may beat the histogram.
     rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    _ymin_impl = os.environ.get("NGMLR_TPU_YMIN_IMPL", "hist")
 
     def count_leq(key):
         kc = jnp.minimum(key, jnp.int32(Tp)).astype(jnp.int32)
+        if _ymin_impl == "sort":
+            grid = jnp.broadcast_to(
+                jnp.arange(Tp, dtype=jnp.int32)[None], (B, Tp))
+            vals = jnp.concatenate([kc, grid], axis=1)
+            tags = jnp.concatenate(
+                [jnp.zeros((B, Hp), jnp.int32),
+                 jnp.ones((B, Tp), jnp.int32)], axis=1)
+            sv, st = jax.lax.sort((vals, tags), dimension=1, num_keys=2,
+                                  is_stable=True)
+            iota = jnp.arange(Hp + Tp, dtype=jnp.int32)[None]
+            gpos = jnp.where(st == 1, iota, jnp.int32(Hp + Tp))
+            gpos = jax.lax.sort(gpos, dimension=1)[:, :Tp]
+            return gpos - jnp.arange(Tp, dtype=jnp.int32)[None]
         hist = jnp.zeros((B, Tp + 1), jnp.int32).at[rows, kc].add(1)
         return jnp.cumsum(hist[:, :Tp], axis=1)
 
