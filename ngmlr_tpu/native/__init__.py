@@ -101,6 +101,102 @@ def get_lib():
         return _lib
 
 
+_ENGINE_SRC = os.path.join(_HERE, "engine.cpp")
+_ENGINE_LIB = os.path.join(_HERE, "libngmlr_engine.so")
+_engine_lib = None
+_engine_tried = False
+
+
+class RecordABI(ctypes.Structure):
+    _fields_ = [
+        ("location", ctypes.c_int64),
+        ("score", ctypes.c_float),
+        ("identity", ctypes.c_float),
+        ("reverse", ctypes.c_int32),
+        ("mq", ctypes.c_int32),
+        ("nm", ctypes.c_int32),
+        ("qstart", ctypes.c_int32),
+        ("qend", ctypes.c_int32),
+        ("cigar_op_count", ctypes.c_int32),
+        ("sv_type", ctypes.c_int32),
+        ("skip", ctypes.c_int32),
+        ("primary", ctypes.c_int32),
+        ("alignment_length", ctypes.c_int32),
+        ("position_offset", ctypes.c_int32),
+        ("first_ref_pos", ctypes.c_int32),
+        ("first_read_pos", ctypes.c_int32),
+        ("last_ref_pos", ctypes.c_int32),
+        ("last_read_pos", ctypes.c_int32),
+    ]
+
+
+def _build_engine():
+    # -ffp-contract=off: FMA contraction must never change an f32 rounding
+    # the byte-identity contract depends on (engine.cpp header comment)
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-ffp-contract=off", "-pthread", "-o", _ENGINE_LIB,
+           os.path.join(_HERE, "engine.cpp"),
+           os.path.join(_HERE, "cigar_native.cpp")]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_engine_lib():
+    """The native per-read assembly engine, or None (Python path)."""
+    global _engine_lib, _engine_tried
+    with _lock:
+        if _engine_tried:
+            return _engine_lib
+        _engine_tried = True
+        try:
+            if (not os.path.exists(_ENGINE_LIB)
+                    or os.path.getmtime(_ENGINE_LIB) < os.path.getmtime(_ENGINE_SRC)
+                    or os.path.getmtime(_ENGINE_LIB) < os.path.getmtime(_SRC)):
+                _build_engine()
+            lib = ctypes.CDLL(_ENGINE_LIB)
+            lib.engine_create.restype = ctypes.c_void_p
+            lib.engine_create.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p,            # cfg_d, cfg_i
+                ctypes.c_void_p, ctypes.c_int64,             # codes, len
+                ctypes.c_void_p, ctypes.c_int32]             # sp, n_sp
+            lib.engine_destroy.argtypes = [ctypes.c_void_p]
+            lib.engine_start_batch.restype = None
+            lib.engine_start_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p,            # read_len, buf_off
+                ctypes.c_void_p,                             # seqs (char**)
+                ctypes.c_void_p, ctypes.c_void_p,            # n_subs, sub_on_read
+                ctypes.c_void_p, ctypes.c_void_p,            # sub_mq, sub_counts
+                ctypes.c_void_p, ctypes.c_void_p,            # cand_loc, cand_rev
+                ctypes.c_void_p]                             # cand_score
+            lib.engine_wait_wave.restype = ctypes.c_int32
+            lib.engine_wait_wave.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64)]
+            lib.engine_post_results.restype = None
+            lib.engine_post_results.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p]
+            for nm in ("engine_read_status", "engine_read_mapped",
+                       "engine_record_count"):
+                fn = getattr(lib, nm)
+                fn.restype = ctypes.c_int32
+                fn.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+            lib.engine_get_record.restype = None
+            lib.engine_get_record.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(RecordABI),
+                ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64)]
+            lib.engine_finish_batch.argtypes = [ctypes.c_void_p]
+            _engine_lib = lib
+        except Exception:
+            _engine_lib = None
+        return _engine_lib
+
+
 def std_sort_perm(keys, desc: bool = False):
     """The permutation std::sort (libstdc++ introsort) applies when sorting
     records by `keys` — INCLUDING its unstable tie order for ranges > 16

@@ -71,6 +71,22 @@ class Pipeline:
             self.dev_search = DeviceSearch(self.index)
         self.processor = LongReadProcessor(self.ref, self.cfg)
         self.acfg = self.processor.acfg
+        # native (C++) per-read assembly engine: the default long-read path
+        # (the Python LongReadProcessor is the oracle and the per-read
+        # fallback). Disabled for the --stdout debug modes, whose dump
+        # ordering requires the serial Python path, and by NGMLR_TPU_NATIVE=0.
+        self.native = None
+        self._native_lock = None
+        if (_os.environ.get("NGMLR_TPU_NATIVE", "1") != "0"
+                and not cfg.stdout_mode):
+            try:
+                from .native_engine import NativeEngine
+                self.native = NativeEngine(self.ref, self.cfg,
+                                           self.acfg.params)
+                import threading as _threading
+                self._native_lock = _threading.Lock()
+            except Exception:
+                self.native = None
         self.stats = {"reads": 0, "mapped": 0, "unmapped": 0}
 
     def run(self, query_path: str, out: IO[bytes], progress: bool = False,
@@ -243,8 +259,30 @@ class Pipeline:
         def make_long_job(read, scored):
             return lambda: self.processor.process(read, scored)
 
+        import os
+        tw = time.perf_counter()
+
+        # --- native engine path for long reads ---------------------------
+        native_out = {}
+        if (self.native is not None and not self.cfg.stdout_mode
+                and not os.environ.get("NGMLR_TPU_SYNC")):
+            from .native_engine import FAILED
+            long_ris = sorted(scored_by_ri.keys())
+            if long_ris:
+                with self._native_lock:
+                    outs = self.native.run_batch(
+                        self.ctx, readbuf, [batch[ri] for ri in long_ris],
+                        [scored_by_ri[ri] for ri in long_ris])
+                for ri, o in zip(long_ris, outs):
+                    if o is FAILED:
+                        self.ctx.stats["native_failed"] = (
+                            self.ctx.stats.get("native_failed", 0) + 1)
+                    else:
+                        native_out[ri] = o
+
         jobs = []
         job_key = {}
+        precomputed = {}
         for ri, read in enumerate(batch):
             if read.empty:
                 continue
@@ -254,11 +292,11 @@ class Pipeline:
                     job_key[ri] = len(jobs)
                     jobs.append(make_short_job(read, cand))
             elif ri in scored_by_ri:
-                job_key[ri] = len(jobs)
-                jobs.append(make_long_job(read, scored_by_ri[ri]))
-
-        import os
-        tw = time.perf_counter()
+                if ri in native_out:
+                    precomputed[ri] = native_out[ri]
+                else:
+                    job_key[ri] = len(jobs)
+                    jobs.append(make_long_job(read, scored_by_ri[ri]))
         if os.environ.get("NGMLR_TPU_SYNC") or self.cfg.stdout_mode:
             # profiling mode — and all --stdout debug modes: jobs run
             # serially in this thread so the dump order matches the
@@ -284,6 +322,9 @@ class Pipeline:
         else:
             wb = _batcher.WaveBatcher(self.ctx, readbuf=readbuf)
             outcomes = wb.map_jobs(jobs)
+        for ri, o in precomputed.items():
+            job_key[ri] = len(outcomes)
+            outcomes.append(o)
         self.ctx.stats["waves_wall_s"] = (
             self.ctx.stats.get("waves_wall_s", 0.0)
             + time.perf_counter() - tw)

@@ -1,0 +1,64 @@
+"""Native (C++) per-read assembly engine vs the Python oracle.
+
+The engine (native/engine.cpp, driven by pipeline/native_engine.py) is the
+default long-read path; pipeline/longread.py is the oracle. These tests pin
+byte-identical SAM output between the two on a coordinate-stress dataset
+(test_2) and an SV-rich one (test_3 subset: inversions/translocations drive
+detect_misalignment → checkForSV → realign through the engine).
+"""
+
+import io
+import os
+
+import pytest
+
+from conftest import DATA_DIR
+
+
+def _run(argv, native: bool) -> bytes:
+    from ngmlr_tpu.cli import build_parser, config_from_args
+    from ngmlr_tpu.pipeline.runner import Pipeline
+
+    old = os.environ.get("NGMLR_TPU_NATIVE")
+    os.environ["NGMLR_TPU_NATIVE"] = "1" if native else "0"
+    try:
+        args = build_parser().parse_args(argv)
+        cfg = config_from_args(args, argv)
+        pipeline = Pipeline(cfg, args.reference, use_cache=True)
+        if native:
+            assert pipeline.native is not None, "engine failed to load"
+        buf = io.BytesIO()
+        pipeline.run(args.query, buf)
+        if native:
+            assert pipeline.ctx.stats.get("native_failed", 0) == 0
+        return b"\n".join(l for l in buf.getvalue().split(b"\n")
+                          if not l.startswith(b"@PG"))
+    finally:
+        if old is None:
+            os.environ.pop("NGMLR_TPU_NATIVE", None)
+        else:
+            os.environ["NGMLR_TPU_NATIVE"] = old
+
+
+def test_native_engine_matches_python_test2():
+    argv = ["-r", os.path.join(DATA_DIR, "test_2/ref_chr21_20kb.fa"),
+            "-q", os.path.join(DATA_DIR, "test_2/reads_100_2200bp.fa")]
+    assert _run(argv, native=True) == _run(argv, native=False)
+
+
+def test_native_engine_matches_python_sv(tmp_path):
+    """First 12 reads of test_3 (the SV determinism dataset): long noisy
+    reads whose split/realign paths go through the engine's corun waves."""
+    import gzip
+    from ngmlr_tpu.io.fastx import parse_fastx
+
+    src = os.path.join(DATA_DIR, "test_3/read.fa.gz")
+    reads_p = str(tmp_path / "sv12.fa")
+    with open(reads_p, "wb") as f:
+        for i, rec in enumerate(parse_fastx(src)):
+            if i >= 12:
+                break
+            f.write(b">" + rec.name + b"\n" + rec.seq + b"\n")
+    argv = ["-r", os.path.join(DATA_DIR, "test_3/reference.fasta.gz"),
+            "-q", reads_p]
+    assert _run(argv, native=True) == _run(argv, native=False)
