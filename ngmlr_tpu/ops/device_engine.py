@@ -476,43 +476,83 @@ class DeviceContext:
             b = w + 3
         return max(min(b, w + 3, p.ref.W + 2, p.qry.length + 2), 8)
 
-    def align_dispatch(self, problems: Sequence[AlignProblem],
-                       params: Tuple[float, ...], readbuf=None,
-                       conservative_L: bool = False):
-        if not problems:
+    @staticmethod
+    def _size_class_vec(x: np.ndarray, lo: int) -> np.ndarray:
+        """Vectorized _size_class: smallest {2^n, 1.5*2^n} bucket >= x."""
+        mx = int(x.max()) if len(x) else lo
+        classes = [lo]
+        v = lo
+        while classes[-1] < mx:
+            classes.append(v + v // 2)
+            v *= 2
+            classes.append(v)
+        arr = np.asarray(classes, dtype=np.int64)
+        return arr[np.searchsorted(arr, x)]
+
+    def align_dispatch_pk(self, pk_all: np.ndarray,
+                          params: Tuple[float, ...], readbuf=None,
+                          conservative_L: bool = False):
+        """Array-path align dispatch. pk_all: int32 [P, 12] rows laid out as
+        (ds u32, hi u32, diff, W, qstart, qlen, qrev, corridor_mode,
+        corridor_i, width, k f32 bits, d f32 bits) — the layout the kernels
+        consume and the native engine produces. ONE packed host->device
+        upload per call (per wave) on a single device; per-chunk uploads
+        on a mesh (shard_map needs per-launch arrays).
+
+        ONE launch per lane-class: kernel wall scales with PADDED cells
+        (B x TpP x L) but the per-b-tile activity table skips trailing
+        wavefront blocks, so problems of very different lengths share a
+        launch almost for free once sorted by T (tiles stay
+        length-homogeneous). Splitting a 64-problem wave into 8 launches
+        measured 2.2x slower than one launch on the chip."""
+        P = len(pk_all)
+        if P == 0:
             return None
         readbuf = self.readbuf if readbuf is None else readbuf
         import time
         t0 = time.perf_counter()
-        # ONE launch per lane-class: kernel wall scales with PADDED cells
-        # (B x TpP x L) but the per-b-tile activity table skips trailing
-        # wavefront blocks, so problems of very different lengths share a
-        # launch almost for free once sorted by T (tiles stay
-        # length-homogeneous). Splitting a 64-problem wave into 8 launches
-        # measured 2.2x slower than one launch on the chip.
-        buckets = {}
-        for i, p in enumerate(problems):
-            # lanes: multiples of 128 up to 1024, then size classes
-            w = (p.width + 3) if conservative_L else self._lane_bound(p)
-            L = (w + 127) // 128 * 128 if w <= 1024 else _size_class(w, 1024)
-            buckets.setdefault(L, []).append(i)
+        pkf = pk_all.view(np.float32)
+        W = pk_all[:, 3].astype(np.int64)
+        qlen = pk_all[:, 5].astype(np.int64)
+        width = pk_all[:, 9].astype(np.int64)
+        mode = pk_all[:, 7]
+        T_arr = W + qlen - 1
+        if conservative_L:
+            wb = width + 3
+        else:
+            # _lane_bound vectorized (see its docstring for the geometry)
+            kk = pkf[:, 10].astype(np.float64)
+            b_ep = np.where(
+                kk > 0,
+                (width.astype(np.float64) * kk / (kk + 1.0)).astype(np.int64)
+                + 6,
+                width + 3)
+            wb = np.where(mode == CORRIDOR_LINEAR, width // 2 + 4,
+                          np.where(mode == CORRIDOR_FULL, width + 3, b_ep))
+            wb = np.maximum(
+                np.minimum.reduce([wb, width + 3, W + 2, qlen + 2]), 8)
+        # lanes: multiples of 128 up to 1024, then size classes
+        L_arr = np.where(wb <= 1024, (wb + 127) // 128 * 128,
+                         self._size_class_vec(np.maximum(wb, 1), 1024))
+        tpp_arr = (self._size_class_vec(np.maximum(W, 1), 256)
+                   + self._size_class_vec(np.maximum(qlen, 1), 256))
         pvec = self._params_vec(tuple(params))
-        pending = []
         failed: List[int] = []
-        chunks = []
+        chunks = []   # (L, [row indices])
         # cap HBM held by one launch's direction planes (B x TpP x L u8);
         # ultra-long reads split into their own launches, and a problem too
         # big for even a solo launch fails like the reference's
         # maxMatrixSizeMB refusal (AlignmentMatrixFast.cpp:45-58)
         DIRS_CAP = int(os.environ.get("NGMLR_TPU_DIRS_CAP_GB", "4")) << 30
-        for L, idxs in buckets.items():
-            idxs.sort(key=lambda i: problems[i].T, reverse=True)
+        for L in np.unique(L_arr):
+            idxs = np.nonzero(L_arr == L)[0]
+            idxs = idxs[np.argsort(-T_arr[idxs], kind="stable")]
+            L = int(L)
             chunk: List[int] = []
-            for i in idxs:
+            chunk_tpp = 0
+            for i in idxs.tolist():
+                tpp = int(tpp_arr[i])
                 if not chunk:
-                    p = problems[i]
-                    tpp = (_size_class(max(p.ref.W, 1), 256)
-                           + _size_class(max(p.qry.length, 1), 256))
                     if 8 * tpp * L > DIRS_CAP:
                         failed.append(i)
                         continue
@@ -523,11 +563,8 @@ class DeviceContext:
                 # moot: B rounds to a BT multiple and BT >= 8
                 if n1 * chunk_tpp * L > DIRS_CAP:
                     chunks.append((L, chunk))
-                    chunk = []
-                    p = problems[i]
-                    tpp = (_size_class(max(p.ref.W, 1), 256)
-                           + _size_class(max(p.qry.length, 1), 256))
                     if 8 * tpp * L > DIRS_CAP:
+                        chunk = []
                         failed.append(i)
                         continue
                     chunk = [i]
@@ -536,45 +573,43 @@ class DeviceContext:
                     chunk.append(i)
             if chunk:
                 chunks.append((L, chunk))
-        for i in failed:
-            p = problems[i]
-            p.ok = False
-            p.score = 0.0
-            p.ops = None
+
+        # build every chunk's padded block, upload ONCE, launch on slices
+        metas = []
+        blocks = []
+        off = 0
         for L, idxs in chunks:
-            Wp = _size_class(max(max(problems[i].ref.W for i in idxs), 1), 256)
-            Hp = _size_class(max(max(problems[i].qry.length for i in idxs), 1),
-                             256)
+            Wp = _size_class(max(int(W[idxs].max()), 1), 256)
+            Hp = _size_class(max(int(qlen[idxs].max()), 1), 256)
             impl, K, BT = self._convex_impl(Wp, Hp, L, len(idxs))
             g = BT * self.n_devices
             B = max((len(idxs) + g - 1) // g * g, 8 * self.n_devices)
-            # ONE packed upload per bucket (~17 ms latency per transfer):
-            # cols 0-1 ds/hi (u32 bits), 2-9 ints, 10-11 corridor f32 bits
-            pk = np.zeros((B, 12), dtype=np.int32)
-            pku = pk.view(np.uint32)
-            pkf = pk.view(np.float32)
-            pk[:, 9] = 1   # empty slots: width 1, zero-length → inert
-            pkf[:, 10] = 1.0
-            for bi, i in enumerate(idxs):
-                p = problems[i]
-                pku[bi, 0] = p.ref.ds
-                pku[bi, 1] = p.ref.hi
-                pk[bi, 2:10] = (p.ref.diff, p.ref.W,
-                                p.qry.start, p.qry.length,
-                                1 if p.qry.rev else 0,
-                                p.corridor_mode, p.corridor_i, p.width)
-                pkf[bi, 10:12] = p.corridor_f
+            blk = np.zeros((B, 12), dtype=np.int32)
+            blkf = blk.view(np.float32)
+            blk[:, 9] = 1   # empty slots: width 1, zero-length → inert
+            blkf[:, 10] = 1.0
+            blk[: len(idxs)] = pk_all[idxs]
+            blocks.append(blk)
+            metas.append((L, idxs, Wp, Hp, impl, K, BT, off, B))
+            off += B
+        big_dev = None
+        if blocks and self.mesh is None:
+            # ONE packed upload per wave (~17 ms latency per transfer);
+            # per-chunk device slices are free
+            big_dev = jnp.asarray(np.concatenate(blocks, axis=0))
+        pending = []
+        for blk, (L, idxs, Wp, Hp, impl, K, BT, boff, B) in zip(blocks, metas):
             if self.mesh is None:
                 packed_ops_dev, scalars_dev = _convex_kernel(
-                    self.genome, readbuf, jnp.asarray(pk), pvec,
+                    self.genome, readbuf, big_dev[boff:boff + B], pvec,
                     Wp=Wp, Hp=Hp, L=L, impl=impl, K=K, BT=BT)
                 cnt = None
             else:
                 packed_ops_dev, scalars_dev, cnt = _convex_kernel_mc(
                     self.mesh, Wp, Hp, L, impl, K, BT)(
-                        self.genome, readbuf, jnp.asarray(pk), pvec)
+                        self.genome, readbuf, jnp.asarray(blk), pvec)
             # transfer only the op range actually used
-            t_max = max(problems[i].T for i in idxs)
+            t_max = int(T_arr[idxs].max())
             n4 = min(packed_ops_dev.shape[1],
                      ((t_max + 3) // 4 + 255) // 256 * 256)
             # a conservative launch accepts its results unconditionally
@@ -586,69 +621,123 @@ class DeviceContext:
             with self._stats_lock:
                 self.stats["align_waves"] += 1
                 self.stats["cells_align"] += len(idxs) * (Wp + Hp) * L
-                self.stats["cells_align_useful"] += sum(
-                    problems[i].qry.length * min(problems[i].width,
-                                                 problems[i].ref.W)
-                    for i in idxs)
+                self.stats["cells_align_useful"] += int(
+                    np.sum(qlen[idxs] * np.minimum(width[idxs], W[idxs])))
         with self._stats_lock:
-            self.stats["align_problems"] += len(problems)
+            self.stats["align_problems"] += P
             self.stats["align_s"] += time.perf_counter() - t0
-        return (problems, pending, params, readbuf)
+        return (pk_all, pending, params, readbuf, failed)
 
-    def align_finalize(self, pend, fetched=None) -> None:
+    def align_finalize_pk(self, pend):
+        """Returns (scores f32 [P], best_x i32, best_y i32, stop_x, stop_y,
+        ok u8, ops) where ops[i] is the packed op-stream row (np.uint8) or
+        None for failed rows."""
         if pend is None:
-            return
+            return None
         import time
         t0 = time.perf_counter()
-        problems, pending, params, readbuf = pend
-        if fetched is None:
-            fetched, cnts = jax.device_get(
-                [[(p, s) for _, p, s, _, _ in pending],
-                 [c for _, _, _, c, _ in pending if c is not None]])
-            with self._stats_lock:
-                for c in cnts:
-                    self.stats["mesh_problems_psum"] = (
-                        self.stats.get("mesh_problems_psum", 0) + int(c))
+        pk_all, pending, params, readbuf, failed = pend
+        P = len(pk_all)
+        scores = np.zeros(P, dtype=np.float32)
+        bx = np.full(P, -1, dtype=np.int32)
+        by = np.full(P, -1, dtype=np.int32)
+        sx = np.full(P, -1, dtype=np.int32)
+        sy = np.full(P, -1, dtype=np.int32)
+        ok = np.zeros(P, dtype=np.uint8)
+        ops: List[Optional[np.ndarray]] = [None] * P
+        fetched, cnts = jax.device_get(
+            [[(p, s) for _, p, s, _, _ in pending],
+             [c for _, _, _, c, _ in pending if c is not None]])
+        with self._stats_lock:
+            for c in cnts:
+                self.stats["mesh_problems_psum"] = (
+                    self.stats.get("mesh_problems_psum", 0) + int(c))
         n_ok = 0
         corr_sum = 0
         lane_retry: List[int] = []
         for (idxs, _, _, _, L), (packed, scalars) in zip(pending, fetched):
             for bi, i in enumerate(idxs):
-                p = problems[i]
-                (score_i, bx, by, sx, sy, okf, hmax) = scalars[bi]
+                (score_i, bxi, byi, sxi, syi, okf, hmax) = scalars[bi]
                 if int(hmax) > L:
                     # the _lane_bound estimate was too tight for this
                     # corridor — re-run with the conservative width+3
                     # lane count (correctness safety net; should never
                     # fire for the analytic bounds)
-                    lane_retry.append(i)
+                    lane_retry.append(int(i))
                     continue
-                p.score = float(np.int32(score_i).view(np.float32))
-                p.best_x, p.best_y = int(bx), int(by)
-                p.stop_x, p.stop_y = int(sx), int(sy)
-                p.ok = bool(okf)
-                p.ops = packed[bi]
-                n_ok += p.ok
-                corr_sum += p.width
+                scores[i] = np.int32(score_i).view(np.float32)
+                bx[i], by[i] = int(bxi), int(byi)
+                sx[i], sy[i] = int(sxi), int(syi)
+                ok[i] = 1 if okf else 0
+                ops[i] = packed[bi]
+                n_ok += int(ok[i])
+                corr_sum += int(pk_all[i, 9])
         if lane_retry:
             with self._stats_lock:
                 self.stats["lane_bound_retries"] = (
                     self.stats.get("lane_bound_retries", 0) + len(lane_retry))
-            sub = [problems[i] for i in lane_retry]
-            self.align_finalize(self.align_dispatch(
+            # re-dispatch the subset conservatively; splice results back
+            sub = np.ascontiguousarray(pk_all[lane_retry])
+            r = self.align_finalize_pk(self.align_dispatch_pk(
                 sub, params, readbuf, conservative_L=True))
-            n_ok += sum(p.ok for p in sub)
-            corr_sum += sum(p.width for p in sub)
+            (s2, bx2, by2, sx2, sy2, ok2, ops2) = r
+            for j, i in enumerate(lane_retry):
+                scores[i] = s2[j]
+                bx[i], by[i] = bx2[j], by2[j]
+                sx[i], sy[i] = sx2[j], sy2[j]
+                ok[i] = ok2[j]
+                ops[i] = ops2[j]
+                n_ok += int(ok2[j])
+                corr_sum += int(pk_all[i, 9])
         # NGMStats corridorLen/alignmentCount/invalidAligmentCount
         # (AlignmentBuffer.cpp:60,120,188)
         with self._stats_lock:
             self.stats["alignment_ok"] = (self.stats.get("alignment_ok", 0)
                                           + n_ok)
             self.stats["alignment_all"] = (self.stats.get("alignment_all", 0)
-                                           + len(problems))
+                                           + P)
             self.stats["corridor_sum"] = (self.stats.get("corridor_sum", 0)
                                           + corr_sum)
             self.stats["align_s"] += time.perf_counter() - t0
+        return (scores, bx, by, sx, sy, ok, ops)
+
+    def align_dispatch(self, problems: Sequence[AlignProblem],
+                       params: Tuple[float, ...], readbuf=None,
+                       conservative_L: bool = False):
+        """Object-path wrapper over align_dispatch_pk (the WaveBatcher /
+        Python-oracle entry point)."""
+        if not problems:
+            return None
+        P = len(problems)
+        pk = np.zeros((P, 12), dtype=np.int32)
+        pku = pk.view(np.uint32)
+        pkf = pk.view(np.float32)
+        for bi, p in enumerate(problems):
+            pku[bi, 0] = p.ref.ds
+            pku[bi, 1] = p.ref.hi
+            pk[bi, 2:10] = (p.ref.diff, p.ref.W,
+                            p.qry.start, p.qry.length,
+                            1 if p.qry.rev else 0,
+                            p.corridor_mode, p.corridor_i, p.width)
+            pkf[bi, 10:12] = p.corridor_f
+        pend = self.align_dispatch_pk(pk, params, readbuf,
+                                      conservative_L=conservative_L)
+        return (problems, pend)
+
+    def align_finalize(self, pend) -> None:
+        if pend is None:
+            return
+        problems, pk_pend = pend
+        r = self.align_finalize_pk(pk_pend)
+        if r is None:
+            return
+        scores, bx, by, sx, sy, ok, ops = r
+        for i, p in enumerate(problems):
+            p.score = float(scores[i])
+            p.best_x, p.best_y = int(bx[i]), int(by[i])
+            p.stop_x, p.stop_y = int(sx[i]), int(sy[i])
+            p.ok = bool(ok[i])
+            p.ops = ops[i]
 
 
 # ---------------------------------------------------------------------------

@@ -22,7 +22,6 @@ import numpy as np
 
 from ..align.cigar import Align
 from ..native import get_engine_lib, RecordABI
-from ..ops.device_engine import AlignProblem, QryDesc, RefDesc
 from .longread import AlignmentRecord, ScoredSubread
 
 FAILED = object()   # sentinel: read must be re-run through the Python path
@@ -180,23 +179,12 @@ class NativeEngine:
         ops_lens = np.zeros(max(na, 1), dtype=np.int64)
         keep = []   # keep ops row arrays alive through engine_post_results
 
-        problems: List[AlignProblem] = []
         pend = None
         if na:
             apk = np.ctypeslib.as_array(
                 ctypes.cast(apk_p, ctypes.POINTER(ctypes.c_int32)),
-                shape=(na, 12))
-            apku = apk.view(np.uint32)
-            apkf = apk.view(np.float32)
-            for i in range(na):
-                problems.append(AlignProblem(
-                    RefDesc(int(apku[i, 0]), int(apk[i, 2]), int(apku[i, 1]),
-                            int(apk[i, 3])),
-                    QryDesc(int(apk[i, 4]), int(apk[i, 5]), bool(apk[i, 6])),
-                    int(apk[i, 7]),
-                    (float(apkf[i, 10]), float(apkf[i, 11])),
-                    int(apk[i, 8]), int(apk[i, 9])))
-            pend = ctx.align_dispatch(problems, self.params, readbuf=readbuf)
+                shape=(na, 12)).copy()
+            pend = ctx.align_dispatch_pk(apk, self.params, readbuf=readbuf)
 
         s_results = np.zeros(max(ns, 1), dtype=np.float32)
         if ns:
@@ -206,14 +194,14 @@ class NativeEngine:
             s_results[:ns] = ctx.score_wave_np(spk, readbuf=readbuf)
 
         if pend is not None:
-            ctx.align_finalize(pend)
-            for i, p in enumerate(problems):
-                a_scores[i] = p.score
-                a_bx[i] = p.best_x
-                a_by[i] = p.best_y
-                a_ok[i] = 1 if p.ok else 0
-                if p.ok and p.ops is not None:
-                    row = np.ascontiguousarray(p.ops)
+            scores, bx, by, _sx, _sy, okf, ops = ctx.align_finalize_pk(pend)
+            a_scores[:] = scores
+            a_bx[:] = bx
+            a_by[:] = by
+            a_ok[:] = okf
+            for i in range(na):
+                if okf[i] and ops[i] is not None:
+                    row = np.ascontiguousarray(ops[i])
                     keep.append(row)
                     ops_ptrs[i] = row.ctypes.data
                     ops_lens[i] = len(row)
