@@ -345,7 +345,11 @@ class DeviceContext:
         key = Rp * (1 << 20) + Qp
         s_impl = ("pallas" if jax.default_backend() == "tpu"
                   and not os.environ.get("NGMLR_TPU_NO_PALLAS") else "scan")
-        pending = []
+        # build every bucket's padded block, upload ONCE (single device):
+        # each host->device transfer costs ~17 ms latency on the tunnel
+        metas = []
+        blocks = []
+        off = 0
         for k in np.unique(key):
             idxs = np.nonzero(key == k)[0]
             rp, qp = int(k >> 20), int(k & ((1 << 20) - 1))
@@ -353,8 +357,23 @@ class DeviceContext:
             Pp = self._shard_B(n, 8)
             pkb = np.zeros((Pp, 7), dtype=np.int32)
             pkb[:n] = pk[idxs]
-            scores, cnt = self._score_call(readbuf, pkb, rp, qp, s_impl)
+            blocks.append(pkb)
+            metas.append((idxs, rp, qp, off, Pp))
+            off += Pp
+        big_dev = None
+        if blocks and self.mesh is None:
+            big_dev = jnp.asarray(np.concatenate(blocks, axis=0))
+        pending = []
+        for pkb, (idxs, rp, qp, boff, Pp) in zip(blocks, metas):
+            if self.mesh is None:
+                scores = _score_kernel(self.genome, readbuf,
+                                       big_dev[boff:boff + Pp],
+                                       Rp=rp, Qp=qp, impl=s_impl)
+                cnt = None
+            else:
+                scores, cnt = self._score_call(readbuf, pkb, rp, qp, s_impl)
             pending.append((idxs, scores, cnt))
+            n = len(idxs)
             with self._stats_lock:
                 self.stats["score_waves"] += 1
                 self.stats["cells_score"] += n * rp * qp
