@@ -42,7 +42,11 @@ class CigarResult(ctypes.Structure):
 
 
 def _build():
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++14", "-o", _LIB, _SRC]
+    # -ffp-contract=off and the same -std as the engine build: the SAME
+    # source is compiled into libngmlr_engine.so, and the two copies of
+    # ops_convert must round f32 identically on FMA-default targets
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-ffp-contract=off", "-o", _LIB, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -191,6 +195,7 @@ def get_engine_lib():
                 ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64)]
             lib.engine_finish_batch.argtypes = [ctypes.c_void_p]
+            lib.engine_abort_batch.argtypes = [ctypes.c_void_p]
             _engine_lib = lib
         except Exception:
             _engine_lib = None

@@ -696,6 +696,7 @@ struct Engine {
   std::vector<ScoreReq*> qs;
   int n_active = 0;
   int n_blocked = 0;
+  bool aborted = false;   // driver-level failure: unwind every read thread
 
   std::vector<ReadCtx> reads;
   std::vector<std::thread> threads;
@@ -710,18 +711,25 @@ struct Engine {
 
   void post_wait(std::vector<AlignReq*> al, std::vector<ScoreReq*> sc) {
     if (al.empty() && sc.empty()) return;
-    std::unique_lock<std::mutex> lk(mu);
-    for (auto* r : al) { r->done = false; qa.push_back(r); }
-    for (auto* r : sc) { r->done = false; qs.push_back(r); }
-    n_blocked += 1;
-    cv_coord.notify_all();
-    cv_work.wait(lk, [&] {
-      for (auto* r : al) if (!r->done) return false;
-      for (auto* r : sc) if (!r->done) return false;
-      return true;
-    });
-    n_blocked -= 1;
-    cv_coord.notify_all();
+    bool ab;
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      if (aborted) throw ReadFailure{};
+      for (auto* r : al) { r->done = false; qa.push_back(r); }
+      for (auto* r : sc) { r->done = false; qs.push_back(r); }
+      n_blocked += 1;
+      cv_coord.notify_all();
+      cv_work.wait(lk, [&] {
+        if (aborted) return true;
+        for (auto* r : al) if (!r->done) return false;
+        for (auto* r : sc) if (!r->done) return false;
+        return true;
+      });
+      ab = aborted;
+      n_blocked -= 1;
+      cv_coord.notify_all();
+    }
+    if (ab) throw ReadFailure{};   // driver failed: read falls back to Python
   }
 
   // corun (pipeline/batcher.py:76-118): run thunks as temporary workers of
@@ -849,11 +857,18 @@ static Corridor corridor_with_anchors(const Interval& interval,
   return {CORRIDOR_ANCHORS, k_align, corridor_right, 0, width};
 }
 
-// materialize query bytes with Python slice-truncation semantics
-// (SeqView.to_bytes, io/reads.py:71-73)
+// materialize query bytes with Python slice semantics — including the
+// negative-index wraparound of seq[start:stop] (SeqView.to_bytes,
+// io/reads.py:71-73; CPython slice normalization)
 static void qry_bytes(const ReadCtx& rd, const SeqView& v, std::string* out) {
-  int64_t a = std::max<int64_t>(0, v.start);
-  int64_t b = std::min<int64_t>(rd.length, v.start + v.length);
+  int64_t a = v.start;
+  int64_t b = v.start + v.length;
+  if (a < 0) a += rd.length;
+  if (a < 0) a = 0;
+  if (a > rd.length) a = rd.length;
+  if (b < 0) b += rd.length;
+  if (b < 0) b = 0;
+  if (b > rd.length) b = rd.length;
   out->clear();
   if (b <= a) return;
   out->assign(rd.seq + a, (size_t)(b - a));
@@ -1126,7 +1141,6 @@ struct Proc {
     if (!read_seq.valid) return false;
     int64_t on_ref_start = iv.is_reverse ? iv.on_ref_stop : iv.on_ref_start;
     int64_t on_ref_stop = iv.is_reverse ? iv.on_ref_start : iv.on_ref_stop;
-    if (on_ref_start >= on_ref_stop) return false;
     if (on_ref_start >= on_ref_stop) return false;
     int64_t ref_seq_length = on_ref_stop - on_ref_start + 1;
     if (ref_seq_length <= 0) return false;
@@ -2105,7 +2119,30 @@ void* engine_create(const double* cfg_d, const int64_t* cfg_i,
   return e;
 }
 
-void engine_destroy(void* h) { delete (Engine*)h; }
+// driver-level failure: unblock every read thread with a failure so the
+// batch can be joined (each read lands in status=1 -> Python fallback)
+void engine_abort_batch(void* h) {
+  Engine* e = (Engine*)h;
+  std::unique_lock<std::mutex> lk(e->mu);
+  e->aborted = true;
+  e->cv_work.notify_all();
+  e->cv_coord.notify_all();
+}
+
+void engine_finish_batch(void* h) {
+  Engine* e = (Engine*)h;
+  for (auto& t : e->threads) t.join();
+  e->threads.clear();
+}
+
+void engine_destroy(void* h) {
+  Engine* e = (Engine*)h;
+  if (!e->threads.empty()) {   // never destroy joinable threads
+    engine_abort_batch(h);
+    engine_finish_batch(h);
+  }
+  delete e;
+}
 
 void engine_start_batch(void* h, int32_t n_reads, const int64_t* read_len,
                         const int64_t* buf_off, const char* const* seqs,
@@ -2114,6 +2151,18 @@ void engine_start_batch(void* h, int32_t n_reads, const int64_t* read_len,
                         const int64_t* cand_loc, const uint8_t* cand_rev,
                         const float* cand_score) {
   Engine* e = (Engine*)h;
+  if (!e->threads.empty()) {   // leftover aborted batch: join before reuse
+    engine_abort_batch(h);
+    engine_finish_batch(h);
+  }
+  {
+    std::unique_lock<std::mutex> lk(e->mu);
+    e->aborted = false;
+    e->qa.clear();
+    e->qs.clear();
+    e->cur_a.clear();
+    e->cur_s.clear();
+  }
   e->reads.clear();
   e->reads.resize((size_t)n_reads);
   int64_t si = 0, ci = 0;
@@ -2267,12 +2316,6 @@ void engine_get_record(void* h, int32_t ri, int32_t j, RecordABI* out,
   *cigar_len = (int64_t)rec.align.cigar.size();
   *md = rec.align.md.data();
   *md_len = (int64_t)rec.align.md.size();
-}
-
-void engine_finish_batch(void* h) {
-  Engine* e = (Engine*)h;
-  for (auto& t : e->threads) t.join();
-  e->threads.clear();
 }
 
 }  // extern "C"

@@ -115,11 +115,20 @@ class NativeEngine:
         na = ctypes.c_int64()
         spk_p = ctypes.c_void_p()
         ns = ctypes.c_int64()
-        while lib.engine_wait_wave(self.h, ctypes.byref(apk_p),
-                                   ctypes.byref(na), ctypes.byref(spk_p),
-                                   ctypes.byref(ns)):
-            self._run_wave(ctx, readbuf, apk_p, int(na.value), spk_p,
-                           int(ns.value))
+        try:
+            while lib.engine_wait_wave(self.h, ctypes.byref(apk_p),
+                                       ctypes.byref(na), ctypes.byref(spk_p),
+                                       ctypes.byref(ns)):
+                self._run_wave(ctx, readbuf, apk_p, int(na.value), spk_p,
+                               int(ns.value))
+        except BaseException:
+            # a driver-level failure (device error, tunnel drop) must not
+            # leave engine threads blocked: abort unwinds every read with
+            # ReadFailure (-> status 1 -> Python per-read fallback) and the
+            # batch joins cleanly
+            lib.engine_abort_batch(self.h)
+            lib.engine_finish_batch(self.h)
+            raise
         lib.engine_finish_batch(self.h)
 
         out: List[object] = []

@@ -269,16 +269,30 @@ class Pipeline:
             from .native_engine import FAILED
             long_ris = sorted(scored_by_ri.keys())
             if long_ris:
-                with self._native_lock:
-                    outs = self.native.run_batch(
-                        self.ctx, readbuf, [batch[ri] for ri in long_ris],
-                        [scored_by_ri[ri] for ri in long_ris])
+                try:
+                    with self._native_lock:
+                        outs = self.native.run_batch(
+                            self.ctx, readbuf, [batch[ri] for ri in long_ris],
+                            [scored_by_ri[ri] for ri in long_ris])
+                except BaseException as e:
+                    # driver-level failure: every long read of this batch
+                    # falls back to the Python path (reference semantics:
+                    # log and keep going, NGM.cpp:262-265)
+                    if os.environ.get("NGMLR_TPU_STRICT"):
+                        raise
+                    from ..log import Log
+                    Log.warning("native engine batch failed: %r", e)
+                    outs = [FAILED] * len(long_ris)
+                n_failed = 0
                 for ri, o in zip(long_ris, outs):
                     if o is FAILED:
-                        self.ctx.stats["native_failed"] = (
-                            self.ctx.stats.get("native_failed", 0) + 1)
+                        n_failed += 1
                     else:
                         native_out[ri] = o
+                if n_failed:
+                    with self.ctx._stats_lock:
+                        self.ctx.stats["native_failed"] = (
+                            self.ctx.stats.get("native_failed", 0) + n_failed)
 
         jobs = []
         job_key = {}

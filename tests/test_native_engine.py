@@ -46,6 +46,45 @@ def test_native_engine_matches_python_test2():
     assert _run(argv, native=True) == _run(argv, native=False)
 
 
+def test_native_engine_driver_failure_falls_back(capsys):
+    """A driver-level failure mid-batch (device error, tunnel drop) must
+    abort the engine batch cleanly — every read falls back to the Python
+    path and output stays byte-identical (reference semantics: log and
+    keep going, NGM.cpp:262-265). Regression for the joinable-thread
+    std::terminate hazard."""
+    import io
+    from ngmlr_tpu.cli import build_parser, config_from_args
+    from ngmlr_tpu.pipeline.runner import Pipeline
+
+    argv = ["-r", os.path.join(DATA_DIR, "test_2/ref_chr21_20kb.fa"),
+            "-q", os.path.join(DATA_DIR, "test_2/reads_100_2200bp.fa")]
+
+    def run(sabotage):
+        args = build_parser().parse_args(argv)
+        cfg = config_from_args(args, argv)
+        p = Pipeline(cfg, args.reference, use_cache=True)
+        assert p.native is not None
+        if sabotage:
+            orig = p.ctx.align_dispatch_pk
+            state = {"n": 0}
+
+            def boom(*a, **kw):
+                state["n"] += 1
+                if state["n"] == 1:
+                    raise RuntimeError("injected driver failure")
+                return orig(*a, **kw)
+
+            p.ctx.align_dispatch_pk = boom
+        buf = io.BytesIO()
+        p.run(args.query, buf)
+        return buf.getvalue(), p.ctx.stats.get("native_failed", 0)
+
+    good, f0 = run(False)
+    bad, f1 = run(True)
+    assert f0 == 0 and f1 > 0
+    assert good == bad
+
+
 def test_native_engine_matches_python_sv(tmp_path):
     """First 12 reads of test_3 (the SV determinism dataset): long noisy
     reads whose split/realign paths go through the engine's corun waves."""
