@@ -94,6 +94,10 @@ def get_lib():
                 fn3.restype = None
                 fn3.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                 ctypes.c_int64, ctypes.c_int32]
+            fn3s = lib.std_sort_perm_f32_seg
+            fn3s.restype = None
+            fn3s.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                             ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
             fn4 = lib.clis_chain
             fn4.restype = ctypes.c_int32
             fn4.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -200,6 +204,26 @@ def get_engine_lib():
         except Exception:
             _engine_lib = None
         return _engine_lib
+
+
+def std_sort_perm_f32_segmented(keys, bounds, desc: bool = False):
+    """Per-segment std::sort permutation (global indices): segment s is
+    keys[bounds[s]:bounds[s+1]]. ONE native call for a whole batch; falls
+    back to per-segment std_sort_perm without the lib."""
+    import numpy as np
+    keys = np.ascontiguousarray(keys, dtype=np.float32)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    idx = np.empty(len(keys), dtype=np.int32)
+    lib = get_lib()
+    if lib is not None:
+        lib.std_sort_perm_f32_seg(keys.ctypes.data, bounds.ctypes.data,
+                                  len(bounds) - 1, 1 if desc else 0,
+                                  idx.ctypes.data)
+        return idx
+    for s in range(len(bounds) - 1):
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        idx[lo:hi] = lo + std_sort_perm(keys[lo:hi], desc=desc)
+    return idx
 
 
 def std_sort_perm(keys, desc: bool = False):

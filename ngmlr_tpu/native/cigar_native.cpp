@@ -456,3 +456,24 @@ extern "C" int32_t clis_chain(const int64_t* on_read, const int64_t* on_ref,
   }
   return m;
 }
+
+// Segmented variant of std_sort_perm_f32: sorts each [bounds[s], bounds[s+1])
+// range of `keys` independently (the per-subread candidate sort,
+// ScoreBuffer.cpp:173 — introsort tie order per subread), writing GLOBAL
+// permutation indices into idx. One ctypes hop for a whole batch instead of
+// one per subread.
+extern "C" void std_sort_perm_f32_seg(const float* keys, const int64_t* bounds,
+                                      int64_t n_segs, int32_t desc,
+                                      int32_t* idx) {
+  for (int64_t s = 0; s < n_segs; ++s) {
+    int64_t lo = bounds[s], hi = bounds[s + 1];
+    for (int64_t i = lo; i < hi; ++i) idx[i] = (int32_t)i;
+    if (desc) {
+      std::sort(idx + lo, idx + hi,
+                [keys](int32_t a, int32_t b) { return keys[a] > keys[b]; });
+    } else {
+      std::sort(idx + lo, idx + hi,
+                [keys](int32_t a, int32_t b) { return keys[a] < keys[b]; });
+    }
+  }
+}

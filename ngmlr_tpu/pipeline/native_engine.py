@@ -22,7 +22,7 @@ import numpy as np
 
 from ..align.cigar import Align
 from ..native import get_engine_lib, RecordABI
-from .longread import AlignmentRecord, ScoredSubread
+from .longread import AlignmentRecord
 
 FAILED = object()   # sentinel: read must be re-run through the Python path
 
@@ -59,10 +59,10 @@ class NativeEngine:
 
     # ------------------------------------------------------------------
 
-    def run_batch(self, ctx, readbuf, reads: List,
-                  scored: List[List[ScoredSubread]]
-                  ) -> List[object]:
-        """Process long reads through the engine. Returns one outcome per
+    def run_batch(self, ctx, readbuf, reads: List, sb) -> List[object]:
+        """Process long reads through the engine. `sb` is the ScoredBatch
+        whose rows cover `reads` in order (score_stage.score_read_batch) —
+        the engine consumes its arrays directly. Returns one outcome per
         read: (mapped, records) like LongReadProcessor.process, or FAILED."""
         lib = self.lib
         n = len(reads)
@@ -74,42 +74,12 @@ class NativeEngine:
         seq_refs = [r.seq for r in reads]          # keep bytes alive
         seqs = (ctypes.c_char_p * n)(*seq_refs)
 
-        n_subs = np.asarray([len(s) for s in scored], dtype=np.int32)
-        sub_on_read: List[int] = []
-        sub_mq: List[int] = []
-        sub_counts: List[int] = []
-        loc_chunks: List[np.ndarray] = []
-        rev_chunks: List[np.ndarray] = []
-        score_chunks: List[np.ndarray] = []
-        for subs in scored:
-            for s in subs:
-                sub_on_read.append(s.on_read)
-                sub_mq.append(s.mq)
-                k = len(s.scores)
-                sub_counts.append(k)
-                if k:
-                    loc_chunks.append(np.ascontiguousarray(s.locations[:k],
-                                                           dtype=np.int64))
-                    rev_chunks.append(np.ascontiguousarray(s.reverse[:k],
-                                                           dtype=np.uint8))
-                    score_chunks.append(np.ascontiguousarray(s.scores,
-                                                             dtype=np.float32))
-        a_on_read = np.asarray(sub_on_read, dtype=np.int64)
-        a_mq = np.asarray(sub_mq, dtype=np.int32)
-        a_counts = np.asarray(sub_counts, dtype=np.int64)
-        a_loc = (np.concatenate(loc_chunks) if loc_chunks
-                 else np.zeros(0, np.int64))
-        a_rev = (np.concatenate(rev_chunks) if rev_chunks
-                 else np.zeros(0, np.uint8))
-        a_score = (np.concatenate(score_chunks) if score_chunks
-                   else np.zeros(0, np.float32))
-
         lib.engine_start_batch(
             self.h, n, read_len.ctypes.data, buf_off.ctypes.data,
             ctypes.cast(seqs, ctypes.c_void_p),
-            n_subs.ctypes.data, a_on_read.ctypes.data, a_mq.ctypes.data,
-            a_counts.ctypes.data, a_loc.ctypes.data, a_rev.ctypes.data,
-            a_score.ctypes.data)
+            sb.n_subs.ctypes.data, sb.on_read.ctypes.data,
+            sb.mq.ctypes.data, sb.counts.ctypes.data,
+            sb.loc.ctypes.data, sb.rev.ctypes.data, sb.score.ctypes.data)
 
         apk_p = ctypes.c_void_p()
         na = ctypes.c_int64()

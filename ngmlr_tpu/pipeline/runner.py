@@ -238,9 +238,13 @@ class Pipeline:
         cand_lists = [[per_read_long[ri][j]
                        for j in range(batch[ri].subread_count(rpl))]
                       for ri in long_ris]
-        scored = score_read_batch(self.ref, cfg, long_reads, cand_lists,
-                                  readbuf=readbuf)
-        scored_by_ri = dict(zip(long_ris, scored))
+        scored_batch = score_read_batch(self.ref, cfg, long_reads, cand_lists,
+                                        readbuf=readbuf)
+        # ri -> (array-native batch handle, local index); the native engine
+        # consumes the arrays wholesale, the Python path materializes
+        # per-read ScoredSubread lists lazily
+        scored_by_ri = {ri: (scored_batch, li)
+                        for li, ri in enumerate(long_ris)}
         self.ctx.stats["prep_score_stage_s"] = (
             self.ctx.stats.get("prep_score_stage_s", 0.0)
             + time.perf_counter() - tp)
@@ -257,7 +261,8 @@ class Pipeline:
             return lambda: process_short_read(self.ref, cfg, read, cand, self.acfg)
 
         def make_long_job(read, scored):
-            return lambda: self.processor.process(read, scored)
+            sb, li = scored
+            return lambda: self.processor.process(read, sb.subreads(li))
 
         import os
         tw = time.perf_counter()
@@ -269,11 +274,13 @@ class Pipeline:
             from .native_engine import FAILED
             long_ris = sorted(scored_by_ri.keys())
             if long_ris:
+                # ScoredBatch rows are already in sorted(long_ris) order
+                sb = scored_by_ri[long_ris[0]][0]
                 try:
                     with self._native_lock:
                         outs = self.native.run_batch(
                             self.ctx, readbuf, [batch[ri] for ri in long_ris],
-                            [scored_by_ri[ri] for ri in long_ris])
+                            sb)
                 except BaseException as e:
                     # driver-level failure: every long read of this batch
                     # falls back to the Python path (reference semantics:
