@@ -8,7 +8,8 @@ reference heap garbage (docs/DIVERGENCES.md) so field 10 is blanked on
 0x10 records; reads the reference binary segfaults on are mapped
 per-read and skipped when it crashes either way (test_3 methodology).
 
-Usage: python scripts/fuzz_vs_reference.py <ref_binary> [seed] [n_reads]
+Usage: python scripts/fuzz_vs_reference.py <ref_binary> [seed] [n_reads] [preset]
+preset: pacbio (default) or ont (-x ont: different gap-decay default)
 """
 
 import os
@@ -133,10 +134,10 @@ def norm_records(sam_bytes):
     return out
 
 
-def run_ref(binary, ref, reads, workdir, timeout=600):
+def run_ref(binary, ref, reads, workdir, timeout=600, preset="pacbio"):
     o = os.path.join(workdir, "ref_out.sam")
     r = subprocess.run([binary, "-r", ref, "-q", reads, "-o", o, "-t", "1",
-                        "--skip-write"],
+                        "-x", preset, "--skip-write"],
                        capture_output=True, timeout=timeout)
     return r.returncode, open(o, "rb").read() if os.path.exists(o) else b""
 
@@ -145,11 +146,12 @@ def main():
     binary = sys.argv[1]
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     n_reads = int(sys.argv[3]) if len(sys.argv) > 3 else 150
+    preset = sys.argv[4] if len(sys.argv) > 4 else "pacbio"
     rng = np.random.default_rng(seed)
     workdir = tempfile.mkdtemp(prefix="ngmlr_fuzz_")
     ref, reads = make_dataset(rng, workdir, n_reads)
 
-    rc, ref_sam = run_ref(binary, ref, reads, workdir)
+    rc, ref_sam = run_ref(binary, ref, reads, workdir, preset=preset)
     crashed = set()
     if rc != 0:
         # reference segfaulted on the whole file: map per read (test_3
@@ -164,7 +166,7 @@ def main():
             one = os.path.join(workdir, "one.fa")
             with open(one, "wb") as f:
                 f.write(b">" + chunk)
-            rc1, sam1 = run_ref(binary, ref, one, workdir)
+            rc1, sam1 = run_ref(binary, ref, one, workdir, preset=preset)
             if rc1 != 0:
                 crashed.add(name)
             else:
@@ -176,7 +178,7 @@ def main():
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run(
         [sys.executable, "-m", "ngmlr_tpu", "-r", ref, "-q", reads,
-         "-o", my, "-t", "1", "--skip-write", "--no-progress"],
+         "-o", my, "-t", "1", "-x", preset, "--skip-write", "--no-progress"],
         capture_output=True, timeout=7200, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     if r.returncode != 0:
@@ -200,8 +202,8 @@ def main():
                     print("  ref: %s" % l[:160].decode(errors="replace"))
                 for l in (b.get(name) or [b"<missing in ngmlr_tpu>"]):
                     print("  tpu: %s" % l[:160].decode(errors="replace"))
-    print("seed=%d reads=%d identical=%d diff=%d ref_crashed=%d (%s)"
-          % (seed, n_reads, n_match, n_diff, len(crashed), workdir))
+    print("seed=%d preset=%s reads=%d identical=%d diff=%d ref_crashed=%d (%s)"
+          % (seed, preset, n_reads, n_match, n_diff, len(crashed), workdir))
     return 0 if n_diff == 0 else 1
 
 
