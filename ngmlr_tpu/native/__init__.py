@@ -175,7 +175,9 @@ def get_engine_lib():
                 ctypes.c_void_p, ctypes.c_void_p,            # n_subs, sub_on_read
                 ctypes.c_void_p, ctypes.c_void_p,            # sub_mq, sub_counts
                 ctypes.c_void_p, ctypes.c_void_p,            # cand_loc, cand_rev
-                ctypes.c_void_p]                             # cand_score
+                ctypes.c_void_p,                             # cand_score
+                ctypes.c_void_p, ctypes.c_void_p,            # short_counts/loc
+                ctypes.c_void_p]                             # short_rev
             lib.engine_wait_wave.restype = ctypes.c_int32
             lib.engine_wait_wave.argtypes = [
                 ctypes.c_void_p,
@@ -188,7 +190,7 @@ def get_engine_lib():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p]
             for nm in ("engine_read_status", "engine_read_mapped",
-                       "engine_record_count"):
+                       "engine_read_mq", "engine_record_count"):
                 fn = getattr(lib, nm)
                 fn.restype = ctypes.c_int32
                 fn.argtypes = [ctypes.c_void_p, ctypes.c_int32]

@@ -677,9 +677,13 @@ struct ReadCtx {
   int64_t buf_offset = 0;      // absolute offset in the device read buffer
   const char* seq = nullptr;   // host read bytes (owned by Python)
   std::vector<ScoredSub> subs;
+  // short-read path (reads <= read_part_length): candidate locations
+  std::vector<int64_t> short_loc;
+  std::vector<uint8_t> short_rev;
   // results
   int32_t status = 0;          // 0 ok, 1 failed (glue re-runs via Python)
   bool mapped = false;
+  int32_t read_mq = 0;         // short-read path only
   std::vector<Record> records;
 };
 
@@ -806,6 +810,12 @@ static Corridor corridor_full(int64_t ref_seq_len) {
   int32_t off = (int32_t)((float)w * -0.2f);
   int64_t length = w + (int64_t)((float)w * 0.2f);
   return {CORRIDOR_FULL, 1.0f, 0.0f, off, (int32_t)length};
+}
+
+// getCorridorLinear (aligner.py:58-60)
+static Corridor corridor_linear(int64_t corridor) {
+  return {CORRIDOR_LINEAR, 1.0f, 0.0f, (int32_t)(corridor / 2),
+          (int32_t)corridor};
 }
 
 // getCorridorEndpoints (aligner.py:63-69)
@@ -952,7 +962,8 @@ static bool compute_alignment(Engine& e, const ReadCtx& rd,
                               const SeqView& qv, int64_t external_qstart,
                               int64_t external_qend, int64_t full_read_length,
                               const RefWin& rw, bool realign,
-                              bool full_alignment, AlignRes* out) {
+                              bool full_alignment, AlignRes* out,
+                              bool short_read = false) {
   int64_t ref_seq_len = rw.W() + 1;
   int32_t retry = full_alignment ? 1 : 5;
   int64_t max_corridor = ref_seq_len * 2;
@@ -965,6 +976,8 @@ static bool compute_alignment(Engine& e, const ReadCtx& rd,
     Corridor c;
     if (full_alignment) {
       c = corridor_full(ref_seq_len);
+    } else if (short_read) {
+      c = corridor_linear(corridor * mult);
     } else if (mult < 3 && !realign && interval != nullptr &&
                !interval->anchors.empty()) {
       c = corridor_with_anchors(*interval, mult, rw.W(), qry_len,
@@ -2050,12 +2063,148 @@ static void process_read(Proc& p) {
   if (rd.mapped) sort_read(records);
 }
 
+// --------------------------------------------------------------------------
+// short-read path (pipeline/shortread.py: ScoreBuffer::scoreShortRead,
+// ScoreBuffer.cpp:216-286 + AlignmentBuffer::processShortRead,
+// AlignmentBuffer.cpp:2550-2660)
+// --------------------------------------------------------------------------
+
+// ScoreBuffer::computeMQ (score_stage.py:31-39) — float32 arithmetic
+static int32_t compute_mq_short(float best, bool has_second, float second) {
+  if (!has_second) return 60;
+  if (best <= 0.0f) return 0;
+  float val = 60.0f * (best - second) / best;
+  return (int32_t)std::ceil((double)val);
+}
+
+static void process_short_read(Proc& p) {
+  Engine& e = p.e;
+  ReadCtx& rd = p.rd;
+  const Config& cfg = e.cfg;
+  int64_t n = (int64_t)rd.short_loc.size();
+  rd.mapped = false;
+  rd.read_mq = 0;
+  if (n == 0) return;
+
+  // dedup by location (shortread.py:33-42, ScoreBuffer.cpp:225-239)
+  std::vector<int32_t> order((size_t)n);
+  for (int64_t i = 0; i < n; ++i) order[i] = (int32_t)i;
+  const int64_t* lp = rd.short_loc.data();
+  std::sort(order.begin(), order.end(),
+            [lp](int32_t a, int32_t b) { return lp[a] < lp[b]; });
+  std::vector<int64_t> locs;
+  std::vector<uint8_t> revs;
+  locs.reserve((size_t)n);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t v = rd.short_loc[order[i]];
+    if (i > 0 && v == locs.back()) continue;
+    locs.push_back(v);
+    revs.push_back(rd.short_rev[order[i]]);
+  }
+
+  // score candidates: corridor len*0.3+256, window len+corridor, ONE wave
+  int64_t corridor = (int64_t)((double)rd.length * 0.3 + 256);
+  std::vector<ScoreReq> reqs(locs.size());
+  std::vector<ScoreReq*> wave;
+  wave.reserve(locs.size());
+  for (size_t i = 0; i < locs.size(); ++i) {
+    RefDesc desc;
+    if (!decode_window_desc(e.rm, locs[i] - (corridor >> 1),
+                            rd.length + corridor, &desc))
+      desc = {0, 0, 0, 0};
+    reqs[i].ref = desc;
+    reqs[i].qstart = (int32_t)rd.buf_offset;
+    reqs[i].qlen = (int32_t)rd.length;
+    reqs[i].qrev = revs[i];
+    wave.push_back(&reqs[i]);
+  }
+  e.post_wait({}, wave);
+
+  // sort by score desc (introsort tie order, ScoreBuffer.cpp:275)
+  std::vector<float> scores(locs.size());
+  for (size_t i = 0; i < locs.size(); ++i) scores[i] = reqs[i].result;
+  std::vector<int32_t> so(locs.size());
+  for (size_t i = 0; i < so.size(); ++i) so[i] = (int32_t)i;
+  const float* sp2 = scores.data();
+  std::sort(so.begin(), so.end(),
+            [sp2](int32_t a, int32_t b) { return sp2[a] > sp2[b]; });
+  std::vector<int64_t> locs2;
+  std::vector<uint8_t> revs2;
+  std::vector<float> sc2;
+  for (int32_t i : so) {
+    locs2.push_back(locs[i]);
+    revs2.push_back(revs[i]);
+    sc2.push_back(scores[i]);
+  }
+  rd.read_mq = compute_mq_short(sc2[0], sc2.size() > 1,
+                                sc2.size() > 1 ? sc2[1] : 0.0f);
+
+  // align top candidates (processShortRead, AlignmentBuffer.cpp:2550-2660)
+  std::vector<Record>& records = rd.records;
+  records.clear();
+  int64_t last_score = 0;
+  for (size_t k = 0; k < locs2.size(); ++k) {
+    if (!((int64_t)sc2[k] >= last_score || records.size() < 2)) break;
+    last_score = (int64_t)sc2[k];
+    int64_t ref_extend = (int64_t)((float)rd.length * 0.15f);
+    Interval iv;
+    iv.on_read_start = 0;
+    iv.on_read_stop = rd.length;
+    iv.on_ref_start = locs2[k] - ref_extend;
+    iv.on_ref_stop = locs2[k] + rd.length + ref_extend;
+    iv.is_reverse = revs2[k] != 0;
+    int64_t short_read_corridor = cfg.read_part_length + 2 * ref_extend;
+
+    SeqView read_part_seq{0, rd.length, iv.is_reverse, true};
+    AlignRes align;
+    bool has = false;
+    if (iv.on_ref_start < iv.on_ref_stop) {
+      int64_t ref_seq_length = iv.on_ref_stop - iv.on_ref_start + 1;
+      RefWin rw;
+      if (decode_exact(e.rm, iv.on_ref_start, ref_seq_length, &rw.data)
+          && decode_exact_desc(e.rm, iv.on_ref_start, ref_seq_length,
+                               &rw.desc)) {
+        has = compute_alignment(e, rd, &iv, short_read_corridor,
+                                read_part_seq, 0, 0, rd.length, rw,
+                                /*realign=*/false, /*full_alignment=*/false,
+                                &align, /*short_read=*/true);
+      }
+    }
+    bool mapped = has && align.score > 0.0f;
+    if (mapped) {
+      int64_t residues = rd.length - align.qstart - align.qend;
+      if (cfg.min_residues < 1.0)
+        mapped = ((double)residues * 1.0 / (double)rd.length)
+                 > cfg.min_residues;
+      else
+        mapped = (double)residues > cfg.min_residues;
+    }
+    if (mapped) {
+      align.mq = rd.read_mq;
+      int64_t loc = iv.on_ref_start + align.position_offset;
+      Record rec;
+      rec.align = std::move(align);
+      rec.location = loc;
+      rec.reverse = iv.is_reverse;
+      rec.score = rec.align.score;
+      records.push_back(std::move(rec));
+    }
+  }
+  if (!records.empty()) {
+    records[0].align.primary = true;
+    rd.mapped = true;
+  }
+}
+
 // thread trampoline
 static void read_main(Engine* e, int32_t ri) {
   ReadCtx& rd = e->reads[ri];
   try {
     Proc p{*e, rd};
-    process_read(p);
+    if (!rd.short_loc.empty() && rd.subs.empty())
+      process_short_read(p);
+    else
+      process_read(p);
     rd.status = 0;
   } catch (...) {
     rd.status = 1;   // glue re-runs this read through the Python path
@@ -2149,7 +2298,9 @@ void engine_start_batch(void* h, int32_t n_reads, const int64_t* read_len,
                         const int32_t* n_subs, const int64_t* sub_on_read,
                         const int32_t* sub_mq, const int64_t* sub_counts,
                         const int64_t* cand_loc, const uint8_t* cand_rev,
-                        const float* cand_score) {
+                        const float* cand_score,
+                        const int64_t* short_counts,   // per read (0 = long)
+                        const int64_t* short_loc, const uint8_t* short_rev) {
   Engine* e = (Engine*)h;
   if (!e->threads.empty()) {   // leftover aborted batch: join before reuse
     engine_abort_batch(h);
@@ -2165,7 +2316,7 @@ void engine_start_batch(void* h, int32_t n_reads, const int64_t* read_len,
   }
   e->reads.clear();
   e->reads.resize((size_t)n_reads);
-  int64_t si = 0, ci = 0;
+  int64_t si = 0, ci = 0, shi = 0;
   for (int32_t i = 0; i < n_reads; ++i) {
     ReadCtx& rd = e->reads[i];
     rd.length = read_len[i];
@@ -2181,6 +2332,15 @@ void engine_start_batch(void* h, int32_t n_reads, const int64_t* read_len,
       s.reverse.assign(cand_rev + ci, cand_rev + ci + n);
       s.scores.assign(cand_score + ci, cand_score + ci + n);
       ci += n;
+    }
+    int64_t ns = short_counts ? short_counts[i] : 0;
+    if (ns > 0) {
+      rd.short_loc.assign(short_loc + shi, short_loc + shi + ns);
+      rd.short_rev.assign(short_rev + shi, short_rev + shi + ns);
+      shi += ns;
+    } else {
+      rd.short_loc.clear();
+      rd.short_rev.clear();
     }
   }
   {
@@ -2284,6 +2444,10 @@ int32_t engine_read_status(void* h, int32_t ri) {
 
 int32_t engine_read_mapped(void* h, int32_t ri) {
   return ((Engine*)h)->reads[ri].mapped ? 1 : 0;
+}
+
+int32_t engine_read_mq(void* h, int32_t ri) {   // short-read path MQ
+  return ((Engine*)h)->reads[ri].read_mq;
 }
 
 int32_t engine_record_count(void* h, int32_t ri) {

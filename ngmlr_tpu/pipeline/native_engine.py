@@ -59,13 +59,17 @@ class NativeEngine:
 
     # ------------------------------------------------------------------
 
-    def run_batch(self, ctx, readbuf, reads: List, sb) -> List[object]:
-        """Process long reads through the engine. `sb` is the ScoredBatch
-        whose rows cover `reads` in order (score_stage.score_read_batch) —
-        the engine consumes its arrays directly. Returns one outcome per
-        read: (mapped, records) like LongReadProcessor.process, or FAILED."""
+    def run_batch(self, ctx, readbuf, reads: List, sb,
+                  shorts: Optional[List] = None) -> List[object]:
+        """Process a batch through the engine. `reads` = long reads (whose
+        ScoredBatch `sb` rows cover them in order) followed by short reads;
+        `shorts` is the per-short-read SubreadCandidates list (or None).
+        Returns one outcome per read: (mapped, records) for long reads,
+        (mapped, records, read_mq) for short reads, or FAILED."""
         lib = self.lib
         n = len(reads)
+        n_short = len(shorts) if shorts else 0
+        n_long = n - n_short
         if n == 0:
             return []
 
@@ -74,12 +78,40 @@ class NativeEngine:
         seq_refs = [r.seq for r in reads]          # keep bytes alive
         seqs = (ctypes.c_char_p * n)(*seq_refs)
 
+        if sb is None:
+            class _EmptySB:
+                on_read = np.zeros(0, np.int64)
+                mq = np.zeros(0, np.int32)
+                counts = np.zeros(0, np.int64)
+                loc = np.zeros(0, np.int64)
+                rev = np.zeros(0, np.uint8)
+                score = np.zeros(0, np.float32)
+                n_subs = np.zeros(0, np.int32)
+            sb = _EmptySB()
+        n_subs = np.zeros(n, dtype=np.int32)
+        n_subs[:n_long] = sb.n_subs
+        short_counts = np.zeros(n, dtype=np.int64)
+        if n_short:
+            short_counts[n_long:] = [len(c.locations) for c in shorts]
+            s_loc = np.concatenate(
+                [np.ascontiguousarray(c.locations, dtype=np.int64)
+                 for c in shorts]) if short_counts[n_long:].sum() else \
+                np.zeros(0, np.int64)
+            s_rev = np.concatenate(
+                [np.ascontiguousarray(c.reverse, dtype=np.uint8)
+                 for c in shorts]) if short_counts[n_long:].sum() else \
+                np.zeros(0, np.uint8)
+        else:
+            s_loc = np.zeros(0, np.int64)
+            s_rev = np.zeros(0, np.uint8)
+
         lib.engine_start_batch(
             self.h, n, read_len.ctypes.data, buf_off.ctypes.data,
             ctypes.cast(seqs, ctypes.c_void_p),
-            sb.n_subs.ctypes.data, sb.on_read.ctypes.data,
+            n_subs.ctypes.data, sb.on_read.ctypes.data,
             sb.mq.ctypes.data, sb.counts.ctypes.data,
-            sb.loc.ctypes.data, sb.rev.ctypes.data, sb.score.ctypes.data)
+            sb.loc.ctypes.data, sb.rev.ctypes.data, sb.score.ctypes.data,
+            short_counts.ctypes.data, s_loc.ctypes.data, s_rev.ctypes.data)
 
         apk_p = ctypes.c_void_p()
         na = ctypes.c_int64()
@@ -140,7 +172,10 @@ class NativeEngine:
                 records.append(AlignmentRecord(
                     a, int(rec_abi.location), bool(rec_abi.reverse),
                     float(rec_abi.score)))
-            out.append((mapped, records))
+            if ri >= n_long:   # short-read outcome carries read_mq
+                out.append((mapped, records, lib.engine_read_mq(self.h, ri)))
+            else:
+                out.append((mapped, records))
         return out
 
     # ------------------------------------------------------------------

@@ -273,25 +273,31 @@ class Pipeline:
                 and not os.environ.get("NGMLR_TPU_SYNC")):
             from .native_engine import FAILED
             long_ris = sorted(scored_by_ri.keys())
-            if long_ris:
-                # ScoredBatch rows are already in sorted(long_ris) order
-                sb = scored_by_ri[long_ris[0]][0]
+            short_ris = sorted(ri for ri, cand in per_read_short.items()
+                               if len(cand.locations) > 0)
+            if long_ris or short_ris:
+                # ScoredBatch rows are already in sorted(long_ris) order;
+                # short reads ride the same engine batch (their candidate
+                # scoring + alignment waves coalesce with the long reads')
+                sb = scored_by_ri[long_ris[0]][0] if long_ris else None
+                all_ris = long_ris + short_ris
                 try:
                     with self._native_lock:
                         outs = self.native.run_batch(
-                            self.ctx, readbuf, [batch[ri] for ri in long_ris],
-                            sb)
+                            self.ctx, readbuf,
+                            [batch[ri] for ri in all_ris], sb,
+                            shorts=[per_read_short[ri] for ri in short_ris])
                 except BaseException as e:
-                    # driver-level failure: every long read of this batch
-                    # falls back to the Python path (reference semantics:
-                    # log and keep going, NGM.cpp:262-265)
+                    # driver-level failure: every read of this batch falls
+                    # back to the Python path (reference semantics: log and
+                    # keep going, NGM.cpp:262-265)
                     if os.environ.get("NGMLR_TPU_STRICT"):
                         raise
                     from ..log import Log
                     Log.warning("native engine batch failed: %r", e)
-                    outs = [FAILED] * len(long_ris)
+                    outs = [FAILED] * len(all_ris)
                 n_failed = 0
-                for ri, o in zip(long_ris, outs):
+                for ri, o in zip(all_ris, outs):
                     if o is FAILED:
                         n_failed += 1
                     else:
@@ -310,8 +316,11 @@ class Pipeline:
             if ri in per_read_short:
                 cand = per_read_short[ri]
                 if len(cand.locations) > 0:
-                    job_key[ri] = len(jobs)
-                    jobs.append(make_short_job(read, cand))
+                    if ri in native_out:
+                        precomputed[ri] = native_out[ri]
+                    else:
+                        job_key[ri] = len(jobs)
+                        jobs.append(make_short_job(read, cand))
             elif ri in scored_by_ri:
                 if ri in native_out:
                     precomputed[ri] = native_out[ri]

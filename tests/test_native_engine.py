@@ -85,6 +85,36 @@ def test_native_engine_driver_failure_falls_back(capsys):
     assert good == bad
 
 
+def test_native_engine_matches_python_short_reads(tmp_path):
+    """Short reads (<= read_part_length) ride the same engine batch via
+    process_short_read (engine.cpp) — pin byte-identity vs the Python
+    pipeline/shortread.py oracle on a short-read-heavy random set."""
+    import numpy as np
+    from ngmlr_tpu.io.fastx import parse_fastx
+
+    ref_p = os.path.join(DATA_DIR, "test_2/ref_chr21_20kb.fa")
+    recs = list(parse_fastx(ref_p))
+    g = b"".join(r.seq for r in recs)
+    rng = np.random.default_rng(42)
+    comp = bytes.maketrans(b"ACGTacgt", b"TGCATGCA")
+    reads_p = str(tmp_path / "shorts.fa")
+    with open(reads_p, "wb") as f:
+        for i in range(40):
+            L = int(rng.integers(40, 257))
+            p = int(rng.integers(0, len(g) - L))
+            seq = g[p:p + L]
+            if rng.random() < 0.3:   # a few substitutions
+                a = bytearray(seq)
+                for _ in range(int(rng.integers(1, 6))):
+                    a[int(rng.integers(0, L))] = b"ACGT"[int(rng.integers(0, 4))]
+                seq = bytes(a)
+            if rng.random() < 0.5:
+                seq = seq.translate(comp)[::-1]
+            f.write(b">s%d\n" % i + seq + b"\n")
+    argv = ["-r", ref_p, "-q", reads_p]
+    assert _run(argv, native=True) == _run(argv, native=False)
+
+
 def test_native_engine_matches_python_sv(tmp_path):
     """First 12 reads of test_3 (the SV determinism dataset): long noisy
     reads whose split/realign paths go through the engine's corun waves."""
