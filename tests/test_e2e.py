@@ -44,6 +44,28 @@ def test_golden_test2(preset, golden):
     assert _records(out) == _records(want)
 
 
+def test_batch_size_invariance():
+    """SAM output must be byte-identical for any batch_reads: the intake
+    batch is a throughput knob (wave-round amortization over the device
+    tunnel), never a semantic one. Emission order is per 10-read intake
+    group (NGM.cpp:190-246) independent of batching."""
+    argv = ["-r", os.path.join(DATA_DIR, "test_2/ref_chr21_20kb.fa"),
+            "-q", os.path.join(DATA_DIR, "test_2/reads_100_2200bp.fa")]
+
+    def run(batch_reads):
+        args = build_parser().parse_args(argv)
+        cfg = config_from_args(args, argv)
+        cfg.batch_reads = batch_reads
+        pipeline = Pipeline(cfg, args.reference, use_cache=True)
+        buf = io.BytesIO()
+        pipeline.run(args.query, buf)
+        return _records(buf.getvalue())
+
+    base = run(192)          # default: all 12 reads in one batch
+    assert run(5) == base    # batch smaller than an intake group
+    assert run(1024) == base
+
+
 def test_shard_merge_matches_full_run(tmp_path):
     """--shard I/N + scripts/merge_sams.py reproduces the unsharded SAM
     (multi-host data parallelism over reads, SURVEY §2.11)."""
