@@ -553,20 +553,33 @@ class DeviceContext:
         # lanes: multiples of 128 up to 1024, then size classes
         L_arr = np.where(wb <= 1024, (wb + 127) // 128 * 128,
                          self._size_class_vec(np.maximum(wb, 1), 1024))
-        tpp_arr = (self._size_class_vec(np.maximum(W, 1), 256)
-                   + self._size_class_vec(np.maximum(qlen, 1), 256))
         pvec = self._params_vec(tuple(params))
         failed: List[int] = []
         chunks = []   # (L, [row indices])
+        # bucket ALSO by per-problem pow2 classes of W and qlen: the launch
+        # shape (Wp, Hp) then depends only on each problem's own geometry,
+        # never on which problems happened to share a wave. Wave
+        # composition is nondeterministic (thread timing), and deriving
+        # Wp/Hp from the chunk max minted fresh compile keys mid-run —
+        # measured 19 _convex_kernel XLA compiles x ~5 s in ONE warm bench
+        # process, dwarfing the kernels' own runtime. Pow2 (not the finer
+        # {2^n, 1.5*2^n}) bounds the key count; padded cells are skipped
+        # by the per-tile activity table so the extra padding is cheap.
+        Wc_arr = np.int64(1) << np.ceil(
+            np.log2(np.maximum(W, 256))).astype(np.int64)
+        Hc_arr = np.int64(1) << np.ceil(
+            np.log2(np.maximum(qlen, 256))).astype(np.int64)
+        bucket_key = (L_arr << 40) | (Wc_arr << 20) | Hc_arr
+        tpp_arr = Wc_arr + Hc_arr
         # cap HBM held by one launch's direction planes (B x TpP x L u8);
         # ultra-long reads split into their own launches, and a problem too
         # big for even a solo launch fails like the reference's
         # maxMatrixSizeMB refusal (AlignmentMatrixFast.cpp:45-58)
         DIRS_CAP = int(os.environ.get("NGMLR_TPU_DIRS_CAP_GB", "4")) << 30
-        for L in np.unique(L_arr):
-            idxs = np.nonzero(L_arr == L)[0]
+        for bk in np.unique(bucket_key):
+            idxs = np.nonzero(bucket_key == bk)[0]
             idxs = idxs[np.argsort(-T_arr[idxs], kind="stable")]
-            L = int(L)
+            L = int(L_arr[idxs[0]])
             chunk: List[int] = []
             chunk_tpp = 0
             for i in idxs.tolist():
@@ -594,12 +607,13 @@ class DeviceContext:
                 chunks.append((L, chunk))
 
         # build every chunk's padded block, upload ONCE, launch on slices
+        t_pack0 = time.perf_counter()
         metas = []
         blocks = []
         off = 0
         for L, idxs in chunks:
-            Wp = _size_class(max(int(W[idxs].max()), 1), 256)
-            Hp = _size_class(max(int(qlen[idxs].max()), 1), 256)
+            Wp = int(Wc_arr[idxs[0]])
+            Hp = int(Hc_arr[idxs[0]])
             impl, K, BT = self._convex_impl(Wp, Hp, L, len(idxs))
             g = BT * self.n_devices
             B = max((len(idxs) + g - 1) // g * g, 8 * self.n_devices)
@@ -611,11 +625,13 @@ class DeviceContext:
             blocks.append(blk)
             metas.append((L, idxs, Wp, Hp, impl, K, BT, off, B))
             off += B
+        t_up0 = time.perf_counter()
         big_dev = None
         if blocks and self.mesh is None:
             # ONE packed upload per wave (~17 ms latency per transfer);
             # per-chunk device slices are free
             big_dev = jnp.asarray(np.concatenate(blocks, axis=0))
+        t_launch0 = time.perf_counter()
         pending = []
         for blk, (L, idxs, Wp, Hp, impl, K, BT, boff, B) in zip(blocks, metas):
             if self.mesh is None:
@@ -642,9 +658,16 @@ class DeviceContext:
                 self.stats["cells_align"] += len(idxs) * (Wp + Hp) * L
                 self.stats["cells_align_useful"] += int(
                     np.sum(qlen[idxs] * np.minimum(width[idxs], W[idxs])))
+        t_end = time.perf_counter()
         with self._stats_lock:
             self.stats["align_problems"] += P
-            self.stats["align_s"] += time.perf_counter() - t0
+            self.stats["align_s"] += t_end - t0
+            self.stats["align_pack_s"] = (self.stats.get("align_pack_s", 0.0)
+                                          + t_up0 - t_pack0)
+            self.stats["align_upload_s"] = (
+                self.stats.get("align_upload_s", 0.0) + t_launch0 - t_up0)
+            self.stats["align_launch_s"] = (
+                self.stats.get("align_launch_s", 0.0) + t_end - t_launch0)
         return (pk_all, pending, params, readbuf, failed)
 
     def align_finalize_pk(self, pend):
@@ -667,7 +690,10 @@ class DeviceContext:
         fetched, cnts = jax.device_get(
             [[(p, s) for _, p, s, _, _ in pending],
              [c for _, _, _, c, _ in pending if c is not None]])
+        t_fetch = time.perf_counter()
         with self._stats_lock:
+            self.stats["align_fetch_s"] = (
+                self.stats.get("align_fetch_s", 0.0) + t_fetch - t0)
             for c in cnts:
                 self.stats["mesh_problems_psum"] = (
                     self.stats.get("mesh_problems_psum", 0) + int(c))
