@@ -327,13 +327,17 @@ class DeviceContext:
         qlen, qrev)). Returns f32 [P] scores. Avoids per-problem Python
         objects on the 10k-problems-per-batch hot path (ScoreBuffer's role,
         ScoreBuffer.cpp:87-130)."""
+        return self.score_finalize_np(self.score_dispatch_np(pk, readbuf))
+
+    def score_dispatch_np(self, pk: np.ndarray, readbuf=None):
+        """Async half of score_wave_np: uploads + launches, no fetch.
+        Returns an opaque pending for score_finalize_np."""
         readbuf = self.readbuf if readbuf is None else readbuf
         import time
         t0 = time.perf_counter()
         P = len(pk)
-        out = np.zeros(P, dtype=np.float32)
         if P == 0:
-            return out
+            return None
         W = pk[:, 3].astype(np.int64)
         qlen = np.maximum(pk[:, 5].astype(np.int64), 1)
         Rp = np.where(
@@ -379,19 +383,34 @@ class DeviceContext:
                 self.stats["cells_score"] += n * rp * qp
                 self.stats["cells_score_useful"] += int(
                     np.sum(W[idxs] * qlen[idxs]))
-        fetched, cnts = jax.device_get(
-            [[s for _, s, _ in pending],
-             [c for _, _, c in pending if c is not None]])
         with self._stats_lock:
-            for c in cnts:
-                self.stats["mesh_problems_psum"] = (
-                    self.stats.get("mesh_problems_psum", 0) + int(c))
+            self.stats["score_problems"] += P
+            self.stats["score_s"] += time.perf_counter() - t0
+        return (P, W, qlen, pending)
+
+    def score_finalize_np(self, pend, fetched=None) -> np.ndarray:
+        """Fetch + scatter the scores of a score_dispatch_np pending.
+        `fetched` optionally supplies pre-fetched per-bucket score arrays
+        (the combined-wave fetch path)."""
+        if pend is None:
+            return np.zeros(0, dtype=np.float32)
+        import time
+        t0 = time.perf_counter()
+        P, W, qlen, pending = pend
+        out = np.zeros(P, dtype=np.float32)
+        if fetched is None:
+            fetched, cnts = jax.device_get(
+                [[s for _, s, _ in pending],
+                 [c for _, _, c in pending if c is not None]])
+            with self._stats_lock:
+                for c in cnts:
+                    self.stats["mesh_problems_psum"] = (
+                        self.stats.get("mesh_problems_psum", 0) + int(c))
         for (idxs, _, _), scores in zip(pending, fetched):
             out[idxs] = scores[:len(idxs)]
         # ssw maxSeqLen guard (StrippedSW.h:87), as in score_finalize
         out[(W + 1 >= MAX_SEQ_LEN) | (qlen + 1 >= MAX_SEQ_LEN)] = -1.0
         with self._stats_lock:
-            self.stats["score_problems"] += P
             self.stats["score_s"] += time.perf_counter() - t0
         return out
 
@@ -670,10 +689,36 @@ class DeviceContext:
                 self.stats.get("align_launch_s", 0.0) + t_end - t_launch0)
         return (pk_all, pending, params, readbuf, failed)
 
-    def align_finalize_pk(self, pend):
+    def fetch_waves_np(self, apend, spend):
+        """ONE device_get covering an align pending and a score pending
+        (the native engine posts both kinds of results to the wave gate
+        together, so separate fetches just paid an extra ~25 ms tunnel
+        round trip per wave). Returns (align results tuple, scores f32)."""
+        import time
+        a_items = [] if apend is None else apend[1]
+        s_items = [] if spend is None else spend[3]
+        t0 = time.perf_counter()
+        fa, fs, cnts = jax.device_get(
+            [[(p, s) for _, p, s, _, _ in a_items],
+             [s for _, s, _ in s_items],
+             [c for _, _, _, c, _ in a_items if c is not None]
+             + [c for _, _, c in s_items if c is not None]])
+        with self._stats_lock:
+            self.stats["align_fetch_s"] = (
+                self.stats.get("align_fetch_s", 0.0)
+                + time.perf_counter() - t0)
+            for c in cnts:
+                self.stats["mesh_problems_psum"] = (
+                    self.stats.get("mesh_problems_psum", 0) + int(c))
+        a_res = self.align_finalize_pk(apend, fetched=fa)
+        s_res = self.score_finalize_np(spend, fetched=fs)
+        return a_res, s_res
+
+    def align_finalize_pk(self, pend, fetched=None):
         """Returns (scores f32 [P], best_x i32, best_y i32, stop_x, stop_y,
         ok u8, ops) where ops[i] is the packed op-stream row (np.uint8) or
-        None for failed rows."""
+        None for failed rows. `fetched` optionally supplies pre-fetched
+        per-chunk (packed, scalars) pairs (the combined-wave fetch path)."""
         if pend is None:
             return None
         import time
@@ -687,16 +732,17 @@ class DeviceContext:
         sy = np.full(P, -1, dtype=np.int32)
         ok = np.zeros(P, dtype=np.uint8)
         ops: List[Optional[np.ndarray]] = [None] * P
-        fetched, cnts = jax.device_get(
-            [[(p, s) for _, p, s, _, _ in pending],
-             [c for _, _, _, c, _ in pending if c is not None]])
-        t_fetch = time.perf_counter()
-        with self._stats_lock:
-            self.stats["align_fetch_s"] = (
-                self.stats.get("align_fetch_s", 0.0) + t_fetch - t0)
-            for c in cnts:
-                self.stats["mesh_problems_psum"] = (
-                    self.stats.get("mesh_problems_psum", 0) + int(c))
+        if fetched is None:
+            fetched, cnts = jax.device_get(
+                [[(p, s) for _, p, s, _, _ in pending],
+                 [c for _, _, _, c, _ in pending if c is not None]])
+            t_fetch = time.perf_counter()
+            with self._stats_lock:
+                self.stats["align_fetch_s"] = (
+                    self.stats.get("align_fetch_s", 0.0) + t_fetch - t0)
+                for c in cnts:
+                    self.stats["mesh_problems_psum"] = (
+                        self.stats.get("mesh_problems_psum", 0) + int(c))
         n_ok = 0
         corr_sum = 0
         lane_retry: List[int] = []

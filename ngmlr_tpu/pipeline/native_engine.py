@@ -185,6 +185,8 @@ class NativeEngine:
         fetch (batcher._fire discipline — dispatch is async, fetches
         overlap), then post all results back to the engine."""
         lib = self.lib
+        with ctx._stats_lock:
+            ctx.stats["engine_waves"] = ctx.stats.get("engine_waves", 0) + 1
         a_scores = np.zeros(na, dtype=np.float32)
         a_bx = np.full(na, -1, dtype=np.int32)
         a_by = np.full(na, -1, dtype=np.int32)
@@ -200,15 +202,24 @@ class NativeEngine:
                 shape=(na, 12)).copy()
             pend = ctx.align_dispatch_pk(apk, self.params, readbuf=readbuf)
 
-        s_results = np.zeros(max(ns, 1), dtype=np.float32)
+        spend = None
         if ns:
             spk = np.ctypeslib.as_array(
                 ctypes.cast(spk_p, ctypes.POINTER(ctypes.c_int32)),
                 shape=(ns, 7)).copy()
-            s_results[:ns] = ctx.score_wave_np(spk, readbuf=readbuf)
+            spend = ctx.score_dispatch_np(spk, readbuf=readbuf)
 
-        if pend is not None:
-            scores, bx, by, _sx, _sy, okf, ops = ctx.align_finalize_pk(pend)
+        # ONE fetch for the whole wave: the engine consumes align + score
+        # results together (engine_post_results), so separate device_gets
+        # only added a second ~25 ms tunnel round trip per wave
+        a_res, s_np = ctx.fetch_waves_np(pend, spend)
+
+        s_results = np.zeros(max(ns, 1), dtype=np.float32)
+        if ns:
+            s_results[:ns] = s_np
+
+        if a_res is not None:
+            scores, bx, by, _sx, _sy, okf, ops = a_res
             a_scores[:] = scores
             a_bx[:] = bx
             a_by[:] = by
