@@ -318,7 +318,7 @@ def run_scale(genome_mbp: float, profile: bool):
     rps = N_READS / elapsed
     if os.environ.get("BENCH_VERBOSE"):
         host_s = elapsed - ds.get("score_s", 0) - ds.get("align_s", 0) \
-            - ds.get("upload_s", 0)
+            - ds.get("align_fetch_s", 0) - ds.get("upload_s", 0)
         sys.stderr.write("bench stats [%g Mbp]: elapsed=%.2fs %s "
                          "host_other=%.2fs\n"
                          % (genome_mbp, elapsed,
@@ -327,7 +327,10 @@ def run_scale(genome_mbp: float, profile: bool):
                                      for k, v in sorted(ds.items())),
                             host_s))
     mapped_frac = stats["mapped"] / max(1, stats["reads"])
-    a_s = ds.get("align_s", 0.0)
+    # align wall = dispatch (pack+upload+launch) + combined-wave fetch
+    # (kernel wait + D2H transfer) — align_fetch_s lives outside align_s
+    # since the fetch_waves_np split
+    a_s = ds.get("align_s", 0.0) + ds.get("align_fetch_s", 0.0)
     gcups_pad = (ds.get("cells_align", 0) / a_s / 1e9) if a_s else 0.0
     gcups_useful = (ds.get("cells_align_useful", 0) / a_s / 1e9) if a_s else 0.0
     RESULT.pop("error", None)
