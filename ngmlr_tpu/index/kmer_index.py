@@ -162,6 +162,129 @@ def kmer_stream(chars: np.ndarray, k: int, stride: int) -> Tuple[np.ndarray, np.
     return val, starts
 
 
+def _iter_chr_chunks(ref: ReferenceGenome, offset: int, length: int,
+                     k: int, stride: int, bin_size: int,
+                     max_emit: Optional[int] = None
+                     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Deduped (prefixes int32, pos int64) chunks of one chromosome's
+    k-mer stream, concatenating bit-identically to kmer_stream(whole chr)
+    + the same-bin dedup — while touching only O(chunk) memory. The
+    monolithic path's ~17 B/emission temporaries are ~26 GB for a
+    single-chromosome 3 Gbp genome; this iterator is what lets the index
+    build stream like the reference's two passes over the encoded
+    reference (PrefixTable.cpp:202-231, 404-454).
+
+      * decoded chars come from CODE2CHAR over the code array directly for
+        interior ranges (position parity even — chromosome starts are
+        even) and from decode_window for the tail, reproducing the
+        odd-length 'x' / NUL-fill quirks exactly (decode_window docstring),
+      * the same-prefix same-bin dedup (PrefixTable.cpp:372-393) depends
+        only on the two previous RAW emissions, carried across chunks.
+    """
+    if k > 15:
+        raise ValueError("index build supports k <= 15 (int32 prefixes)")
+    if length < k:
+        return
+    if max_emit is None:
+        max_emit = int(os.environ.get("NGMLR_TPU_INDEX_CHUNK",
+                                      str(48 << 20)))
+    from ..io.reference import CODE2CHAR
+    dec_len = length - 2
+    concat_len = ref.concat_len
+
+    def chars_range(a: int, b: int) -> np.ndarray:
+        # chromosome-local [a, b); a must be even (decode parity)
+        if b > dec_len or offset + b > concat_len:
+            dw = ref.decode_window(offset + a, length - a) or b""
+            buf = dw + b"\x00" * ((length - a) - len(dw))
+            return np.frombuffer(buf, dtype=np.uint8)[: b - a]
+        return CODE2CHAR[np.asarray(ref.codes[offset + a: offset + b])]
+
+    # --- N-free segments over the whole chromosome, sliced ----------------
+    SL = 128 << 20
+    rs_parts: List[np.ndarray] = []
+    re_parts: List[np.ndarray] = []
+    prev_in = False
+    for a in range(0, length, SL):
+        b = min(a + SL, length)
+        ch = chars_range(a, b)
+        nn = ch != ord("N")
+        d = np.diff(nn.astype(np.int8))
+        starts_l = np.nonzero(d == 1)[0].astype(np.int64) + 1 + a
+        ends_l = np.nonzero(d == -1)[0].astype(np.int64) + 1 + a
+        if nn[0] and not prev_in:
+            starts_l = np.concatenate([[a], starts_l])
+        prev_in = bool(nn[-1])
+        rs_parts.append(starts_l)
+        re_parts.append(ends_l)
+    if prev_in:
+        re_parts.append(np.asarray([length], dtype=np.int64))
+    run_starts = (np.concatenate(rs_parts) if rs_parts
+                  else np.zeros(0, np.int64))
+    run_ends = (np.concatenate(re_parts) if re_parts
+                else np.zeros(0, np.int64))
+
+    lens = run_ends - run_starts
+    nw = np.maximum((lens - k) // stride + 1, 0)
+    cum = np.cumsum(nw)
+    total = int(cum[-1]) if len(cum) else 0
+
+    carry_p = np.zeros(0, np.int32)
+    carry_pos = np.zeros(0, np.int64)
+    done = 0
+    while done < total:
+        e0, e1 = done, min(done + max_emit, total)
+        s0 = int(np.searchsorted(cum, e0, side="right"))
+        s1 = int(np.searchsorted(cum, e1 - 1, side="right"))
+        sel = np.arange(s0, s1 + 1)
+        base = cum[sel] - nw[sel]
+        m_lo = np.maximum(e0 - base, 0)
+        m_hi = np.minimum(e1 - base, nw[sel])
+        cnt = m_hi - m_lo
+        n = int(cnt.sum())
+        rep_start = np.repeat(run_starts[sel] + m_lo * stride, cnt)
+        off = np.arange(n, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt,
+                                                       cnt)
+        starts = rep_start + off * stride           # chromosome-local
+        del rep_start, off
+        a = int(starts[0])
+        a -= a & 1
+        b = min(int(starts[-1]) + k, length)
+        ch = chars_range(a, b)
+        codes = (ch >> np.uint8(1)) & np.uint8(3)
+        loc = (starts - a).astype(np.int32)
+        val = np.zeros(n, dtype=np.int32)
+        idx = np.empty(n, dtype=np.int32)
+        gat = np.empty(n, dtype=np.uint8)
+        for j in range(k):
+            np.left_shift(val, 2, out=val)
+            np.add(loc, np.int32(j), out=idx)
+            np.take(codes, idx, out=gat)
+            np.bitwise_or(val, gat, out=val)
+        del codes, ch, loc, idx, gat
+        pos = starts + offset
+        del starts
+
+        nc = len(carry_p)
+        if nc:
+            p_all = np.concatenate([carry_p, val])
+            pos_all = np.concatenate([carry_pos, pos])
+        else:
+            p_all, pos_all = val, pos
+        m = len(p_all)
+        keep = np.ones(m, dtype=bool)
+        if m > 2:
+            bins = pos_all >> bin_size
+            same = np.zeros(m, dtype=bool)
+            same[1:] = p_all[1:] == p_all[:-1]
+            keep[2:] = ~(same[2:] & same[1:-1] & (bins[2:] == bins[1:-1]))
+        carry_p = p_all[-2:].copy()
+        carry_pos = pos_all[-2:].copy()
+        keep[:nc] = False
+        yield p_all[keep], pos_all[keep]
+        done = e1
+
+
 class KmerIndex:
     def __init__(self, k: int, bucket_start: np.ndarray, positions: np.ndarray,
                  bin_size: int, kmer_skip: int,
@@ -180,75 +303,67 @@ class KmerIndex:
     @classmethod
     def build(cls, ref: ReferenceGenome, k: int = 13, kmer_skip: int = 2,
               bin_size: int = 4, max_prefix_freq: int = 1000) -> "KmerIndex":
+        """Streaming two-pass build (the reference's own shape:
+        PrefixTable.cpp:202-231 count pass, 404-454 fill pass):
+
+          * pass A streams deduped emission chunks per chromosome
+            (_iter_chr_chunks, the CountKmer stage) accumulating the
+            forward and revcomp frequency histograms; chunks are buffered
+            only while the stream still might be tiny (sparse regime),
+          * the frequency cutoff (PrefixTable.cpp:296-309: kept iff
+            fwd+rc total <= mpf - ceil(mpf/100), poly-G never) yields the
+            kept-bucket counts, hence bucket_start by cumsum,
+          * pass B re-streams the chunks and scatters kept positions
+            directly into their buckets (chunk-local packed-key sort +
+            per-bucket write pointers) — within-bucket order is the global
+            emission order, bit-identical to a monolithic stable sort.
+
+        Peak memory is O(histograms + final table + one chunk) — ~7 GB at
+        3 Gbp vs ~50 GB for the old monolithic concatenate+argsort build.
+        """
         n_prefix = 4 ** k
         stride = kmer_skip + 1
-
-        all_prefixes: List[np.ndarray] = []
-        all_pos: List[np.ndarray] = []
-        for ci in range(len(ref.names)):
-            offset = int(ref.ref_start[ci])
-            length = int(ref.ref_len[ci])
-            # Reference quirk (PrefixTable.cpp:218, 249): DecodeRefSequence is
-            # called with bufferLength = len, so only len-2 bases decode (odd
-            # counts leave a trailing 'x'), the buffer is NUL-filled to len,
-            # and PrefixIteration scans all len chars — '\0' and 'x' encode
-            # as code 0 ((c>>1)&3), creating phantom k-mers at chromosome
-            # ends. Reproduced bit-for-bit.
-            decoded = ref.decode_window(offset, length)
-            buf = decoded + b"\x00" * (length - len(decoded))
-            chars = np.frombuffer(buf, dtype=np.uint8)
-            prefixes, starts = kmer_stream(chars, k, stride)
-            # starts are chromosome-local int32; concat coords need int64
-            pos = starts.astype(np.int64) + offset
-            # same-prefix same-bin dedup (CountKmer, PrefixTable.cpp:372-393);
-            # state resets per chromosome. Subtlety: a prefix change sets
-            # lastBin = -1, so the SECOND emission of a same-prefix run is
-            # always kept; skipping starts at the third.
-            if len(pos) > 2:
-                bins = pos >> bin_size
-                same = np.zeros(len(pos), dtype=bool)
-                same[1:] = prefixes[1:] == prefixes[:-1]
-                skip = np.zeros(len(pos), dtype=bool)
-                skip[2:] = same[2:] & same[1:-1] & (bins[2:] == bins[1:-1])
-                prefixes = prefixes[~skip]
-                pos = pos[~skip]
-            all_prefixes.append(prefixes)
-            all_pos.append(pos)
-
-        prefixes = np.concatenate(all_prefixes) if all_prefixes else np.zeros(0, np.int64)
-        pos = np.concatenate(all_pos) if all_pos else np.zeros(0, np.int64)
-
-        # frequency cutoff (PrefixTable.cpp:296-309), scale-adaptive:
-        #  * dense regime (human-scale genomes): full 4^k frequency table +
-        #    revcomp permutation table — linear passes,
-        #  * sparse regime (tiny genomes): unique-prefix arithmetic only,
-        #    never materializing a 4^k-sized array.
-        # used iff total < max AND int8 weight != 0. The weight int is
-        # int((max - total) * 100.0 / max), positive here, so weight != 0
-        # <=> (max - total) * 100 >= max — pure integer arithmetic, no
-        # 4^k-sized float temporary (first-touch page faults dominate the
-        # build on the target host)
-        # used iff total < mpf AND weight != 0, where weight =
+        mpf = int(max_prefix_freq)
+        # used iff total < mpf AND int8 weight != 0, where weight =
         # int((mpf - total) * 100.0 / mpf) — for positive values that is
         # total <= mpf - ceil(mpf / 100), a single integer comparison
-        mpf = int(max_prefix_freq)
         thr = mpf - (mpf + 99) // 100
-        if len(prefixes) * 16 >= n_prefix:
-            # rc is a bijection, so bincount(rc(prefixes))[p] ==
-            # freq[rc(p)]: two sequential bincounts replace the 4^k-sized
-            # random gather total[revcomp_table] (67M cache misses, ~20 s)
-            fwd_cnt = np.bincount(prefixes, minlength=n_prefix)
-            total = fwd_cnt + np.bincount(revcomp_prefix(prefixes, k),
-                                          minlength=n_prefix)
-            used_p = total <= thr
-            used_p[n_prefix - 1] = False  # poly-G (PrefixTable.cpp:289)
-            keep = used_p[prefixes]
-            # kept-bucket counts fall out of the forward histogram — the
-            # post-sort bincount below is skipped in this regime
-            kept_cnt = np.where(used_p, fwd_cnt, 0)
-            del total, fwd_cnt
-        else:
-            kept_cnt = None
+
+        def chunks():
+            for ci in range(len(ref.names)):
+                yield from _iter_chr_chunks(ref, int(ref.ref_start[ci]),
+                                            int(ref.ref_len[ci]), k, stride,
+                                            bin_size)
+
+        # --- pass A: frequency histograms ------------------------------
+        fwd_cnt = None          # allocated lazily (dense regime only)
+        rc_sum = None
+        n_total = 0
+        buffered: Optional[List[Tuple[np.ndarray, np.ndarray]]] = []
+        for p_chunk, pos_chunk in chunks():
+            n_total += len(p_chunk)
+            if buffered is not None and n_total * 16 < n_prefix:
+                buffered.append((p_chunk, pos_chunk))
+            else:
+                if fwd_cnt is None:
+                    fwd_cnt = np.zeros(n_prefix, dtype=np.int64)
+                    rc_sum = np.zeros(n_prefix, dtype=np.int64)
+                    for bp, _ in (buffered or []):
+                        fwd_cnt += np.bincount(bp, minlength=n_prefix)
+                        rc_sum += np.bincount(revcomp_prefix(bp, k),
+                                              minlength=n_prefix)
+                    buffered = None
+                fwd_cnt += np.bincount(p_chunk, minlength=n_prefix)
+                rc_sum += np.bincount(revcomp_prefix(p_chunk, k),
+                                      minlength=n_prefix)
+
+        if buffered is not None:
+            # sparse regime (tiny genome, n_total * 16 < 4^k): unique-prefix
+            # arithmetic on the buffered stream, never a 4^k-sized array
+            prefixes = (np.concatenate([p for p, _ in buffered])
+                        if buffered else np.zeros(0, np.int64))
+            pos = (np.concatenate([q for _, q in buffered])
+                   if buffered else np.zeros(0, np.int64))
             uniq, inv, cnt = np.unique(prefixes, return_inverse=True,
                                        return_counts=True)
             rc_u = revcomp_prefix(uniq, k)
@@ -262,46 +377,88 @@ class KmerIndex:
             used_u &= uniq != (n_prefix - 1)  # poly-G (PrefixTable.cpp:289)
             keep = used_u[inv]
 
-        prefixes = prefixes[keep]
-        pos = pos[keep].astype(np.uint32)   # concat coords < 2^32; the
-        # narrowing halves the traffic of the permutation gather below
-        # stable sort by prefix via one packed int64 key (prefix << shift
-        # | stream index): numpy's vectorized int64 sort is ~15x faster
-        # than a stable int32 argsort on this host, and the low-bit index
-        # keeps the within-bucket stream order exactly. 2k prefix bits +
-        # (63 - 2k) index bits; the index space (>= 2^33 at k=15) always
-        # covers the uint32 position-count ceiling.
-        shift = 63 - 2 * k
-        assert len(prefixes) < (1 << shift)
-        key = prefixes.astype(np.int64)
-        np.left_shift(key, shift, out=key)
-        np.bitwise_or(key, np.arange(len(key), dtype=np.int64), out=key)
-        key.sort()
-        order = np.bitwise_and(key, (1 << shift) - 1)
-        positions = pos[order]
-        np.right_shift(key, shift, out=key)
-        sorted_prefix = key.astype(np.int32)
-        del key, order
+            prefixes = prefixes[keep]
+            pos = pos[keep].astype(np.uint32)
+            # stable sort by prefix via one packed int64 key (prefix <<
+            # shift | stream index) — keeps within-bucket stream order
+            shift = 63 - 2 * k
+            assert len(prefixes) < (1 << shift)
+            key = prefixes.astype(np.int64)
+            np.left_shift(key, shift, out=key)
+            np.bitwise_or(key, np.arange(len(key), dtype=np.int64), out=key)
+            key.sort()
+            order = np.bitwise_and(key, (1 << shift) - 1)
+            positions = pos[order]
+            np.right_shift(key, shift, out=key)
+            sorted_prefix = key.astype(np.int32)
+            del key, order
+            if len(sorted_prefix) * 128 >= n_prefix:
+                dt = np.int32 if len(sorted_prefix) < 2 ** 31 else np.int64
+                bucket_start = np.zeros(n_prefix + 1, dtype=dt)
+                np.cumsum(np.bincount(sorted_prefix, minlength=n_prefix),
+                          dtype=dt, out=bucket_start[1:])
+                return cls(k, bucket_start, positions, bin_size, kmer_skip)
+            kept_uniq = np.unique(sorted_prefix)
+            bucket_start = np.zeros(len(kept_uniq) + 1, dtype=np.int64)
+            bucket_start[1:] = np.searchsorted(sorted_prefix, kept_uniq,
+                                               side="right")
+            return cls(k, bucket_start, positions, bin_size, kmer_skip,
+                       uniq_prefix=kept_uniq)
 
-        if len(sorted_prefix) * 128 >= n_prefix:
-            # dense representation: O(1) bucket lookup. int32 offsets only
-            # when the kept-position count fits (a ~2.2 Gbp genome at
-            # --kmer-skip 1 can exceed 2^31 positions even though each
-            # position fits uint32) — int64 otherwise, so the cumsum
-            # cannot silently wrap.
-            dt = np.int32 if len(sorted_prefix) < 2 ** 31 else np.int64
-            bucket_start = np.zeros(n_prefix + 1, dtype=dt)
-            counts = (kept_cnt if kept_cnt is not None
-                      else np.bincount(sorted_prefix, minlength=n_prefix))
-            np.cumsum(counts, dtype=dt, out=bucket_start[1:])
+        # --- dense regime: cutoff from histograms -----------------------
+        # rc is a bijection, so bincount(rc(prefixes))[p] == freq[rc(p)]
+        total = fwd_cnt + rc_sum
+        used_p = total <= thr
+        used_p[n_prefix - 1] = False      # poly-G (PrefixTable.cpp:289)
+        kept_cnt = np.where(used_p, fwd_cnt, 0)
+        del total, fwd_cnt, rc_sum
+        total_kept = int(kept_cnt.sum())
+
+        dt = np.int32 if total_kept < 2 ** 31 else np.int64
+        bucket_start = np.zeros(n_prefix + 1, dtype=dt)
+        np.cumsum(kept_cnt, dtype=dt, out=bucket_start[1:])
+
+        # --- pass B: scatter kept positions into their buckets ----------
+        positions = np.empty(total_kept, dtype=np.uint32)
+        write_ptr = bucket_start[:-1].astype(np.int64)
+        shift = 63 - 2 * k
+        for p_chunk, pos_chunk in chunks():
+            keep = used_p[p_chunk]
+            p2 = p_chunk[keep]
+            pos2 = pos_chunk[keep].astype(np.uint32)
+            n = len(p2)
+            if n == 0:
+                continue
+            # chunk-local stable sort by prefix (stream order within runs)
+            key = p2.astype(np.int64)
+            np.left_shift(key, shift, out=key)
+            np.bitwise_or(key, np.arange(n, dtype=np.int64), out=key)
+            key.sort()
+            order = np.bitwise_and(key, (1 << shift) - 1)
+            np.right_shift(key, shift, out=key)
+            sp = key.astype(np.int32)
+            ps = pos2[order]
+            del key, order
+            newrun = np.empty(n, dtype=bool)
+            newrun[0] = True
+            np.not_equal(sp[1:], sp[:-1], out=newrun[1:])
+            run_starts = np.nonzero(newrun)[0]
+            run_lens = np.diff(np.append(run_starts, n))
+            rank = np.arange(n, dtype=np.int64) - np.repeat(run_starts,
+                                                            run_lens)
+            uniqp = sp[run_starts]
+            dest = write_ptr[sp] + rank
+            positions[dest] = ps
+            write_ptr[uniqp] += run_lens
+
+        if total_kept * 128 >= n_prefix:
             return cls(k, bucket_start, positions, bin_size, kmer_skip)
-        # sparse representation: searchsorted over the unique prefix list
-        kept_uniq = np.unique(sorted_prefix)
-        u = len(kept_uniq)
-        bucket_start = np.zeros(u + 1, dtype=np.int64)
-        bucket_start[1:] = np.searchsorted(sorted_prefix, kept_uniq,
-                                           side="right")
-        return cls(k, bucket_start, positions, bin_size, kmer_skip,
+        # pathological dense-cutoff/sparse-rep corner (heavy cutoff): keep
+        # the old sparse representation contract
+        kept_uniq = np.nonzero(kept_cnt)[0].astype(np.int32)
+        bs = np.zeros(len(kept_uniq) + 1, dtype=np.int64)
+        np.cumsum(kept_cnt[kept_uniq], out=bs[1:])
+        return cls(k, bs, positions, bin_size, kmer_skip,
                    uniq_prefix=kept_uniq)
 
     # -- cache -------------------------------------------------------------

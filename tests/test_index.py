@@ -91,6 +91,36 @@ def test_index_build_and_lookup(tmp_path):
     assert idx.positions.max() <= SPACER + len(seq) - k
 
 
+def test_streaming_build_chunk_invariance(tmp_path, monkeypatch):
+    """The streaming two-pass build must produce a bit-identical index for
+    ANY emission chunk size (chunk boundaries exercise the 2-entry dedup
+    carry and the pass-B per-bucket write pointers). Uses k=7 so a small
+    genome lands in the dense regime (n_total * 16 >= 4^k), plus an
+    N-rich genome for segment/chunk interactions."""
+    rng = np.random.default_rng(7)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, size=20000))
+    # sprinkle N runs to create many segments
+    seq2 = list(seq)
+    for p in rng.integers(0, len(seq2) - 10, size=40):
+        for j in range(int(rng.integers(1, 8))):
+            seq2[p + j] = "N"
+    chrs = ["".join(seq2), seq[:5003]]   # odd length: decode tail quirk
+    ref, _ = _mk_ref(tmp_path, chrs)
+
+    def build(chunk):
+        monkeypatch.setenv("NGMLR_TPU_INDEX_CHUNK", str(chunk))
+        return KmerIndex.build(ref, k=7, kmer_skip=2, bin_size=4,
+                               max_prefix_freq=60)
+
+    base = build(1 << 30)    # single chunk per chromosome
+    assert base.uniq_prefix is None, "expected dense regime"
+    for chunk in (17, 1024, 4096):
+        idx = build(chunk)
+        assert np.array_equal(base.bucket_start, idx.bucket_start), chunk
+        assert np.array_equal(base.positions, idx.positions), chunk
+        assert (idx.uniq_prefix is None) == (base.uniq_prefix is None)
+
+
 def test_index_same_bin_dedup(tmp_path):
     # Homopolymer: every stride-3 emission is the same prefix, so the
     # consecutive same-prefix same-bin rule (PrefixTable.cpp:372-393)
