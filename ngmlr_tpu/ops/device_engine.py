@@ -662,16 +662,13 @@ class DeviceContext:
                 packed_ops_dev, scalars_dev, cnt = _convex_kernel_mc(
                     self.mesh, Wp, Hp, L, impl, K, BT)(
                         self.genome, readbuf, jnp.asarray(blk), pvec)
-            # transfer only the op range actually used
-            t_max = int(T_arr[idxs].max())
-            n4 = min(packed_ops_dev.shape[1],
-                     ((t_max + 3) // 4 + 255) // 256 * 256)
             # a conservative launch accepts its results unconditionally
             # (hmax <= width+3 is proven for monotone corridors; the
             # sentinel makes the retry recursion terminate even if that
             # proof is ever violated)
-            pending.append((idxs, packed_ops_dev[:, :n4], scalars_dev, cnt,
-                            (1 << 30) if conservative_L else L))
+            pending.append((idxs, packed_ops_dev, scalars_dev, cnt,
+                            (1 << 30) if conservative_L else L,
+                            int(packed_ops_dev.shape[0]) // B))
             with self._stats_lock:
                 self.stats["align_waves"] += 1
                 self.stats["cells_align"] += len(idxs) * (Wp + Hp) * L
@@ -699,9 +696,9 @@ class DeviceContext:
         s_items = [] if spend is None else spend[3]
         t0 = time.perf_counter()
         fa, fs, cnts = jax.device_get(
-            [[(p, s) for _, p, s, _, _ in a_items],
+            [[(p, s) for _, p, s, _, _, _ in a_items],
              [s for _, s, _ in s_items],
-             [c for _, _, _, c, _ in a_items if c is not None]
+             [c for _, _, _, c, _, _ in a_items if c is not None]
              + [c for _, _, c in s_items if c is not None]])
         with self._stats_lock:
             self.stats["align_fetch_s"] = (
@@ -734,8 +731,8 @@ class DeviceContext:
         ops: List[Optional[np.ndarray]] = [None] * P
         if fetched is None:
             fetched, cnts = jax.device_get(
-                [[(p, s) for _, p, s, _, _ in pending],
-                 [c for _, _, _, c, _ in pending if c is not None]])
+                [[(p, s) for _, p, s, _, _, _ in pending],
+                 [c for _, _, _, c, _, _ in pending if c is not None]])
             t_fetch = time.perf_counter()
             with self._stats_lock:
                 self.stats["align_fetch_s"] = (
@@ -746,7 +743,8 @@ class DeviceContext:
         n_ok = 0
         corr_sum = 0
         lane_retry: List[int] = []
-        for (idxs, _, _, _, L), (packed, scalars) in zip(pending, fetched):
+        for (idxs, _, _, _, L, T4), (packed, scalars) in zip(pending, fetched):
+            packed = packed.reshape(-1, T4)
             for bi, i in enumerate(idxs):
                 (score_i, bxi, byi, sxi, syi, okf, hmax) = scalars[bi]
                 if int(hmax) > L:
@@ -1103,7 +1101,11 @@ def _convex_kernel(genome, readbuf, pk, params, Wp: int, Hp: int,
         o4 = ops_i.reshape(B, TpP // 4, 4).astype(jnp.uint8)
         packed = (o4[..., 0] | (o4[..., 1] << 2) | (o4[..., 2] << 4)
                   | (o4[..., 3] << 6)).astype(jnp.uint8)
-        return packed, scalars
+        # flat return: device_get of a 2D array measured ~30-45% slower
+        # than the same bytes as 1D over the tunnel, and fetching a lazy
+        # [:, :n4] SLICE ~4x slower — so the kernel returns the full
+        # packed plane flattened and the host reshapes for free
+        return packed.reshape(-1), scalars
 
     ymin_t = ymin.T                                                # [Tp, B]
     ymax_t = ymax.T
@@ -1260,4 +1262,4 @@ def _convex_kernel(genome, readbuf, pk, params, Wp: int, Hp: int,
     o4 = opsT.reshape(B, (Tp + pad) // 4, 4)
     packed = (o4[:, :, 0] | (o4[:, :, 1] << 2) | (o4[:, :, 2] << 4)
               | (o4[:, :, 3] << 6)).astype(jnp.uint8)
-    return packed, scalars
+    return packed.reshape(-1), scalars

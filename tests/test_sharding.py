@@ -90,3 +90,33 @@ def test_full_pipeline_on_mesh_matches_single_device():
                 if not l.startswith(b"@PG")]
 
     assert run(8) == run(1)
+
+
+def test_device_search_pipeline_on_mesh_matches_host_search(monkeypatch):
+    """The production large-genome configuration under the mesh: device
+    candidate search forced on (the runner gates it on >= 100 Mbp + tpu;
+    NGMLR_TPU_DEVICE_SEARCH=1 exercises it on test_2) with all waves
+    sharded over 8 devices — output must byte-match the host-search
+    single-device run (VERDICT r2 item 5)."""
+    import io
+    import os
+    from ngmlr_tpu.cli import build_parser, config_from_args
+    from ngmlr_tpu.pipeline.runner import Pipeline
+    from conftest import DATA_DIR
+
+    argv = ["-r", os.path.join(DATA_DIR, "test_2/ref_chr21_20kb.fa"),
+            "-q", os.path.join(DATA_DIR, "test_2/reads_100_2200bp.fa")]
+
+    def run(threads, dev_search):
+        monkeypatch.setenv("NGMLR_TPU_DEVICE_SEARCH",
+                           "1" if dev_search else "0")
+        args = build_parser().parse_args(argv + ["-t", str(threads)])
+        cfg = config_from_args(args, argv)
+        pipeline = Pipeline(cfg, args.reference, use_cache=True)
+        assert (pipeline.dev_search is not None) == dev_search
+        buf = io.BytesIO()
+        pipeline.run(args.query, buf)
+        return [l for l in buf.getvalue().split(b"\n")
+                if not l.startswith(b"@PG")]
+
+    assert run(8, True) == run(1, False)
