@@ -141,11 +141,9 @@ def main():
                                              K=K, BT=BT), pkj)
     packed, scalars = full
 
-    # fetch cost of the packed op stream
-    t_max = W + H - 1
-    n4 = min(packed.shape[1], ((t_max + 3) // 4 + 255) // 256 * 256)
+    # fetch cost of the packed op stream (flat [B * ceil(Tp/4)] u8)
     t0 = time.perf_counter()
-    got = jax.device_get([packed[:, :n4], scalars])
+    got = jax.device_get([packed, scalars])
     print("  %-22s %.3f s (%.1f KB)" % (
         "fetch ops+scalars", time.perf_counter() - t0,
         (got[0].nbytes + got[1].nbytes) / 1e3))
