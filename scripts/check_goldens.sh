@@ -49,5 +49,31 @@ PYEOF
 then PASS=$((PASS+1)); else FAIL=$((FAIL+1)); fi
 rm -f "$t3out"
 
+# test_7: SV-rich ont-preset dataset (scripts/make_ont_golden.py, seed 77).
+# Reference crashes whole-file AND on 44/120 reads individually
+# (tests/golden/test_7_reference_crashes.txt); golden holds per-read output
+# of the 76 survivors, QUAL pre-sanitized to '*' (docs/DIVERGENCES.md #1).
+t7out=$(mktemp)
+python -m ngmlr_tpu.cli -r tests/data/test_7/ref.fa -q tests/data/test_7/reads.fa -x ont -o "$t7out" 2>/dev/null
+if python3 - "$t7out" <<'PYEOF'
+import sys
+def load(p):
+    d = {}
+    for line in open(p):
+        if line.startswith("@"): continue
+        f = line.rstrip("\n").split("\t")
+        d.setdefault(f[0], []).append(f)
+    return d
+golden = load("tests/golden/test_7_ont_sv.sam")
+ours = load(sys.argv[1])
+bad = [q for q, g in golden.items() if ours.get(q) != g]
+print(f"test_7_ont_sv: {len(golden)-len(bad)}/{len(golden)} reads identical")
+if bad:
+    print("first diffs:", bad[:3])
+sys.exit(1 if bad else 0)
+PYEOF
+then PASS=$((PASS+1)); else FAIL=$((FAIL+1)); fi
+rm -f "$t7out"
+
 echo "pass=$PASS fail=$FAIL"
 [ "$FAIL" -eq 0 ]
