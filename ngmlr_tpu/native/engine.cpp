@@ -8,12 +8,13 @@
 // engine is the production host path: it removes the per-read Python
 // interpreter cost that binds single-chip throughput on a 1-core host.
 //
-// Execution model (mirrors pipeline/batcher.py): one engine thread per read
-// runs the straight-line per-read control flow; every device request (banded
-// convex alignment or ungapped scoring probe) is posted to a wave gate and
-// the thread blocks. The Python driver collects a wave when every live
-// thread is blocked-or-done, runs the batched kernels through DeviceContext,
-// posts results, and wakes the threads. Numeric points follow the Python
+// Execution model (mirrors pipeline/batcher.py): one FIBER (stackful
+// coroutine) per read runs the straight-line per-read control flow on a
+// fixed worker-thread pool; every device request (banded convex alignment
+// or ungapped scoring probe) is posted to a wave gate and the fiber parks.
+// The Python driver collects a wave when every live fiber is
+// parked-or-done, runs the batched kernels through DeviceContext, posts
+// results, and requeues the fibers. Numeric points follow the Python
 // sources op-for-op: float where np.float32 was used, double elsewhere;
 // build with -ffp-contract=off so x86 FMA contraction can never change a
 // rounding (see native/__init__.py).
@@ -26,12 +27,18 @@
 #include <cmath>
 #include <condition_variable>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <deque>
 #include <functional>
 #include <mutex>
+#include <new>
 #include <string>
 #include <thread>
 #include <vector>
+
+#include <sys/mman.h>
+#include <ucontext.h>
 
 // ops_convert from cigar_native.cpp (compiled into the same .so)
 extern "C" {
@@ -632,13 +639,22 @@ static void get_intervals_from_anchors(const std::vector<Anchor>& anchors_in,
 namespace ngmlr_engine {
 
 // --------------------------------------------------------------------------
-// wave gate: per-read threads post device requests and block; the Python
-// driver collects a wave when all live threads are blocked-or-done
-// (pipeline/batcher.py WaveBatcher semantics)
+// wave gate: per-read FIBERS (stackful ucontext coroutines) post device
+// requests and park; a fixed worker-thread pool (NGMLR_TPU_ENGINE_THREADS,
+// default = hardware_concurrency) runs fibers until every live fiber is
+// parked-or-done, at which point the Python driver collects the wave, runs
+// the batched kernels, and posts results (pipeline/batcher.py WaveBatcher
+// semantics). Fibers replace the round-2 thread-per-read model so
+// batch_reads can scale 10x+ without thousands of OS threads (the reference
+// itself uses a fixed pool, NGM.cpp:334-348): a fiber costs one lazily
+// committed MAP_NORESERVE stack, and a park/resume is one swapcontext pair
+// instead of a kernel scheduler round trip.
 // --------------------------------------------------------------------------
 
 constexpr int32_t CORRIDOR_FULL = 0, CORRIDOR_LINEAR = 1,
                   CORRIDOR_ENDPOINTS = 2, CORRIDOR_ANCHORS = 3;
+
+struct Fiber;
 
 struct AlignReq {
   RefDesc ref;
@@ -651,7 +667,7 @@ struct AlignReq {
   int32_t best_x = -1, best_y = -1;
   uint8_t ok = 0;
   std::vector<uint8_t> ops;
-  bool done = false;
+  Fiber* owner = nullptr;           // fiber parked on this request
 };
 
 struct ScoreReq {
@@ -659,7 +675,7 @@ struct ScoreReq {
   int32_t qstart = 0, qlen = 0;
   uint8_t qrev = 0;
   float result = 0.0f;
-  bool done = false;
+  Fiber* owner = nullptr;           // fiber parked on this request
 };
 
 struct Engine;
@@ -690,54 +706,236 @@ struct ReadCtx {
 // read-failure escape: unwinds the per-read thread back to its trampoline
 struct ReadFailure {};
 
+// A fiber is one read's (or one corun thunk's) suspended computation. A
+// fiber must never be resumable while its context is only half-saved, so
+// every park publishes its intent through the WORKER after swapcontext
+// returns to the worker stack (the "schedule after switch" discipline).
+struct Fiber {
+  ucontext_t ctx;
+  ucontext_t* ret = nullptr;      // current worker's scheduler context
+  char* stack_base = nullptr;     // mmap base (guard page at the bottom)
+  size_t stack_size = 0;
+  std::function<void()> body;
+  Fiber* parent = nullptr;        // corun parent (nullptr for read fibers)
+  char* fail_out = nullptr;       // corun child: caller's failed[i] slot
+  int pending = 0;                // outstanding device reqs / live children
+  bool want_fail = false;         // next resume throws ReadFailure (abort)
+  bool finished = false;
+  // park intent, staged by the fiber, published by the worker
+  int park = 0;                   // 0 none, 1 device wave, 2 corun children
+  std::vector<AlignReq*> staged_a;
+  std::vector<ScoreReq*> staged_s;
+  std::vector<Fiber*> staged_children;
+};
+
+static thread_local Fiber* t_fiber = nullptr;  // fiber running on this thread
+
+// makecontext entry: body exceptions are contained here (an exception must
+// never unwind across a context switch); corun children report theirs
+// through fail_out, read fibers catch their own in read_fiber_main.
+static void fiber_entry() {
+  Fiber* f = t_fiber;
+  try {
+    f->body();
+  } catch (...) {
+    if (f->fail_out) *f->fail_out = true;
+  }
+  f->finished = true;
+  swapcontext(&f->ctx, f->ret);   // back to the worker; never resumed again
+}
+
+static size_t fiber_stack_bytes() {
+  long kb = 1024;   // lazily committed (MAP_NORESERVE): virtual, not RSS
+  if (const char* s = std::getenv("NGMLR_TPU_FIBER_STACK_KB")) kb = atol(s);
+  if (kb < 128) kb = 128;
+  return (size_t)kb * 1024;
+}
+
 struct Engine {
   Config cfg;
   RefMeta rm;
 
   std::mutex mu;
-  std::condition_variable cv_coord, cv_work;
+  std::condition_variable cv_coord;    // coordinator: wave ready / batch done
+  std::condition_variable cv_workers;  // workers: runnable fibers
+  std::deque<Fiber*> runq;
+  std::vector<Fiber*> blocked_dev;     // fibers parked on device requests
   std::vector<AlignReq*> qa;
   std::vector<ScoreReq*> qs;
-  int n_active = 0;
-  int n_blocked = 0;
-  bool aborted = false;   // driver-level failure: unwind every read thread
+  int n_running = 0;                   // fibers currently on a worker
+  int n_unfinished = 0;                // read fibers not yet finished
+  bool aborted = false;   // driver-level failure: unwind every read fiber
+  bool stop_workers = false;
 
   std::vector<ReadCtx> reads;
-  std::vector<std::thread> threads;
+  std::vector<std::thread> workers;    // fixed pool, lives for the Engine
+  std::vector<char*> stack_pool;       // recycled fiber stacks
+  size_t fiber_stack = 0;
 
-  // current wave (owned here between wait_requests and post calls)
+  // current wave (owned here between wait_wave and post_results)
   std::vector<AlignReq*> cur_a;
   std::vector<ScoreReq*> cur_s;
   std::vector<int32_t> pk_align;   // [n][12] rows, layout of align_dispatch
   std::vector<int32_t> pk_score;   // [n][7] rows, layout of score_wave_np
 
+  ~Engine() {
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      stop_workers = true;
+      cv_workers.notify_all();
+    }
+    for (auto& t : workers) t.join();
+    for (char* s : stack_pool) munmap(s, fiber_stack);
+  }
+
+  void ensure_workers() {
+    if (!workers.empty()) return;
+    if (!fiber_stack) fiber_stack = fiber_stack_bytes();
+    int k = 0;
+    if (const char* s = std::getenv("NGMLR_TPU_ENGINE_THREADS")) k = atoi(s);
+    if (k <= 0) k = (int)std::thread::hardware_concurrency();
+    if (k <= 0) k = 1;
+    if (k > 64) k = 64;
+    for (int i = 0; i < k; ++i)
+      workers.emplace_back([this] { worker_loop(); });
+  }
+
+  Fiber* new_fiber(std::function<void()> body, Fiber* parent,
+                   char* fail_out) {
+    Fiber* f = new Fiber();
+    f->body = std::move(body);
+    f->parent = parent;
+    f->fail_out = fail_out;
+    char* base = nullptr;
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      if (!stack_pool.empty()) {
+        base = stack_pool.back();
+        stack_pool.pop_back();
+      }
+    }
+    if (!base) {
+      base = (char*)mmap(nullptr, fiber_stack, PROT_READ | PROT_WRITE,
+                         MAP_PRIVATE | MAP_ANONYMOUS | MAP_NORESERVE, -1, 0);
+      if (base == MAP_FAILED) throw std::bad_alloc();
+      mprotect(base, 4096, PROT_NONE);   // guard page under the stack
+    }
+    f->stack_base = base;
+    f->stack_size = fiber_stack;
+    getcontext(&f->ctx);
+    f->ctx.uc_stack.ss_sp = base + 4096;
+    f->ctx.uc_stack.ss_size = fiber_stack - 4096;
+    f->ctx.uc_link = nullptr;
+    makecontext(&f->ctx, (void (*)())fiber_entry, 0);
+    return f;
+  }
+
+  void free_fiber_locked(Fiber* f) {
+    stack_pool.push_back(f->stack_base);
+    delete f;
+  }
+
+  void maybe_wake_coord_locked() {
+    if (n_running == 0 && runq.empty()) cv_coord.notify_all();
+  }
+
   // ---- worker side -------------------------------------------------------
+
+  void worker_loop() {
+    for (;;) {
+      Fiber* f = nullptr;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_workers.wait(lk, [&] { return stop_workers || !runq.empty(); });
+        if (stop_workers) return;
+        f = runq.front();
+        runq.pop_front();
+        n_running += 1;
+      }
+      resume_and_publish(f);
+    }
+  }
+
+  void resume_and_publish(Fiber* f) {
+    ucontext_t sched;
+    f->ret = &sched;
+    t_fiber = f;
+    swapcontext(&sched, &f->ctx);
+    t_fiber = nullptr;
+    // the fiber is fully swapped out (or finished): publish its fate
+    if (f->finished) {
+      Fiber* parent = f->parent;
+      std::unique_lock<std::mutex> lk(mu);
+      free_fiber_locked(f);
+      if (parent) {
+        if (--parent->pending == 0) {
+          runq.push_back(parent);
+          cv_workers.notify_one();
+        }
+      } else {
+        n_unfinished -= 1;
+      }
+      n_running -= 1;
+      maybe_wake_coord_locked();
+    } else if (f->park == 1) {          // device requests
+      std::unique_lock<std::mutex> lk(mu);
+      f->park = 0;
+      if (aborted) {
+        // batch is unwinding: fail the fiber instead of queueing requests
+        f->staged_a.clear();
+        f->staged_s.clear();
+        f->pending = 0;
+        f->want_fail = true;
+        runq.push_back(f);
+        cv_workers.notify_one();
+      } else {
+        for (auto* r : f->staged_a) { r->owner = f; qa.push_back(r); }
+        for (auto* r : f->staged_s) { r->owner = f; qs.push_back(r); }
+        f->staged_a.clear();
+        f->staged_s.clear();
+        blocked_dev.push_back(f);
+      }
+      n_running -= 1;
+      maybe_wake_coord_locked();
+    } else {                            // park == 2: corun children
+      std::unique_lock<std::mutex> lk(mu);
+      f->park = 0;
+      for (Fiber* c : f->staged_children) runq.push_back(c);
+      f->staged_children.clear();
+      cv_workers.notify_all();
+      n_running -= 1;
+      maybe_wake_coord_locked();
+    }
+  }
+
+  // ---- fiber side --------------------------------------------------------
+
+  // swap the current fiber out; the worker publishes its park intent
+  static void park() {
+    Fiber* f = t_fiber;
+    swapcontext(&f->ctx, f->ret);
+    if (f->want_fail) {
+      f->want_fail = false;
+      throw ReadFailure{};
+    }
+  }
 
   void post_wait(std::vector<AlignReq*> al, std::vector<ScoreReq*> sc) {
     if (al.empty() && sc.empty()) return;
-    bool ab;
     {
       std::unique_lock<std::mutex> lk(mu);
       if (aborted) throw ReadFailure{};
-      for (auto* r : al) { r->done = false; qa.push_back(r); }
-      for (auto* r : sc) { r->done = false; qs.push_back(r); }
-      n_blocked += 1;
-      cv_coord.notify_all();
-      cv_work.wait(lk, [&] {
-        if (aborted) return true;
-        for (auto* r : al) if (!r->done) return false;
-        for (auto* r : sc) if (!r->done) return false;
-        return true;
-      });
-      ab = aborted;
-      n_blocked -= 1;
-      cv_coord.notify_all();
     }
-    if (ab) throw ReadFailure{};   // driver failed: read falls back to Python
+    Fiber* f = t_fiber;
+    f->park = 1;
+    f->staged_a = std::move(al);
+    f->staged_s = std::move(sc);
+    f->pending = (int)(f->staged_a.size() + f->staged_s.size());
+    park();   // resumed by engine_post_results (or abort -> ReadFailure)
   }
 
-  // corun (pipeline/batcher.py:76-118): run thunks as temporary workers of
-  // this gate; the caller blocks (counted) until all finish.
+  // corun (pipeline/batcher.py:76-118): run thunks as child fibers of this
+  // gate; the caller parks until all finish.
   void corun(std::vector<std::function<void()>> fns,
              std::vector<bool>* failed) {
     size_t n = fns.size();
@@ -746,44 +944,18 @@ struct Engine {
       try { fns[0](); } catch (...) { (*failed)[0] = true; }
       return;
     }
-    std::vector<std::thread> ts;
-    int remaining = (int)n;
-    {
-      std::unique_lock<std::mutex> lk(mu);
-      n_active += (int)n;
-    }
-    std::mutex done_mu;
-    std::condition_variable done_cv;
-    for (size_t i = 0; i < n; ++i) {
-      ts.emplace_back([&, i] {
-        try { fns[i](); } catch (...) { (*failed)[i] = true; }
-        {
-          std::unique_lock<std::mutex> lk(mu);
-          n_active -= 1;
-          cv_coord.notify_all();
-        }
-        {
-          std::unique_lock<std::mutex> lk2(done_mu);
-          remaining -= 1;
-          done_cv.notify_all();
-        }
-      });
-    }
-    {
-      std::unique_lock<std::mutex> lk(mu);
-      n_blocked += 1;
-      cv_coord.notify_all();
-    }
-    {
-      std::unique_lock<std::mutex> lk2(done_mu);
-      done_cv.wait(lk2, [&] { return remaining == 0; });
-    }
-    {
-      std::unique_lock<std::mutex> lk(mu);
-      n_blocked -= 1;
-      cv_coord.notify_all();
-    }
-    for (auto& t : ts) t.join();
+    Fiber* f = t_fiber;
+    // vector<bool> elements are not addressable: stage child failures in a
+    // char buffer on this fiber's stack (alive across the park)
+    std::vector<char> fails(n, 0);
+    f->park = 2;
+    f->pending = (int)n;
+    f->staged_children.clear();
+    for (size_t i = 0; i < n; ++i)
+      f->staged_children.push_back(
+          new_fiber(std::move(fns[i]), f, &fails[i]));
+    park();   // resumed when the last child finishes
+    for (size_t i = 0; i < n; ++i) (*failed)[i] = fails[i] != 0;
   }
 };
 
@@ -2196,8 +2368,8 @@ static void process_short_read(Proc& p) {
   }
 }
 
-// thread trampoline
-static void read_main(Engine* e, int32_t ri) {
+// read fiber body (finish bookkeeping lives in resume_and_publish)
+static void read_fiber_main(Engine* e, int32_t ri) {
   ReadCtx& rd = e->reads[ri];
   try {
     Proc p{*e, rd};
@@ -2210,11 +2382,6 @@ static void read_main(Engine* e, int32_t ri) {
     rd.status = 1;   // glue re-runs this read through the Python path
     rd.records.clear();
     rd.mapped = false;
-  }
-  {
-    std::unique_lock<std::mutex> lk(e->mu);
-    e->n_active -= 1;
-    e->cv_coord.notify_all();
   }
 }
 
@@ -2268,25 +2435,37 @@ void* engine_create(const double* cfg_d, const int64_t* cfg_i,
   return e;
 }
 
-// driver-level failure: unblock every read thread with a failure so the
-// batch can be joined (each read lands in status=1 -> Python fallback)
+// driver-level failure: resume every parked read fiber with a failure so
+// the batch can unwind (each read lands in status=1 -> Python fallback)
 void engine_abort_batch(void* h) {
   Engine* e = (Engine*)h;
   std::unique_lock<std::mutex> lk(e->mu);
   e->aborted = true;
-  e->cv_work.notify_all();
+  for (Fiber* f : e->blocked_dev) {
+    f->pending = 0;
+    f->want_fail = true;
+    e->runq.push_back(f);
+  }
+  e->blocked_dev.clear();
+  e->qa.clear();
+  e->qs.clear();
+  e->cur_a.clear();   // post_results after an abort becomes a no-op
+  e->cur_s.clear();
+  e->cv_workers.notify_all();
   e->cv_coord.notify_all();
 }
 
 void engine_finish_batch(void* h) {
   Engine* e = (Engine*)h;
-  for (auto& t : e->threads) t.join();
-  e->threads.clear();
+  std::unique_lock<std::mutex> lk(e->mu);
+  e->cv_coord.wait(lk, [&] {
+    return e->n_unfinished == 0 && e->n_running == 0 && e->runq.empty();
+  });
 }
 
 void engine_destroy(void* h) {
   Engine* e = (Engine*)h;
-  if (!e->threads.empty()) {   // never destroy joinable threads
+  if (e->n_unfinished > 0) {   // never destroy a live batch
     engine_abort_batch(h);
     engine_finish_batch(h);
   }
@@ -2302,7 +2481,7 @@ void engine_start_batch(void* h, int32_t n_reads, const int64_t* read_len,
                         const int64_t* short_counts,   // per read (0 = long)
                         const int64_t* short_loc, const uint8_t* short_rev) {
   Engine* e = (Engine*)h;
-  if (!e->threads.empty()) {   // leftover aborted batch: join before reuse
+  if (e->n_unfinished > 0) {   // leftover aborted batch: unwind before reuse
     engine_abort_batch(h);
     engine_finish_batch(h);
   }
@@ -2343,27 +2522,35 @@ void engine_start_batch(void* h, int32_t n_reads, const int64_t* read_len,
       rd.short_rev.clear();
     }
   }
+  e->ensure_workers();
   {
     std::unique_lock<std::mutex> lk(e->mu);
-    e->n_active = n_reads;
-    e->n_blocked = 0;
+    e->n_unfinished = n_reads;
   }
-  e->threads.clear();
-  e->threads.reserve((size_t)n_reads);
-  for (int32_t i = 0; i < n_reads; ++i)
-    e->threads.emplace_back(read_main, e, i);
+  // create one fiber per read; the fixed worker pool drains the run queue
+  for (int32_t i = 0; i < n_reads; ++i) {
+    Fiber* f = e->new_fiber([e, i] { read_fiber_main(e, i); },
+                            nullptr, nullptr);
+    std::unique_lock<std::mutex> lk(e->mu);
+    e->runq.push_back(f);
+  }
+  {
+    std::unique_lock<std::mutex> lk(e->mu);
+    e->cv_workers.notify_all();
+  }
 }
 
 int32_t engine_wait_wave(void* h, const int32_t** align_pk, int64_t* n_align,
                          const int32_t** score_pk, int64_t* n_score) {
   Engine* e = (Engine*)h;
   std::unique_lock<std::mutex> lk(e->mu);
+  // quiescent = nothing runnable, nothing running: every live fiber is
+  // parked on a device request (or transitively on corun children that are)
   e->cv_coord.wait(lk, [&] {
-    return e->n_active == 0 ||
-           (e->n_blocked == e->n_active &&
-            (!e->qa.empty() || !e->qs.empty()));
+    return e->n_running == 0 && e->runq.empty() &&
+           (e->n_unfinished == 0 || !e->qa.empty() || !e->qs.empty());
   });
-  if (e->n_active == 0 && e->qa.empty() && e->qs.empty()) {
+  if (e->qa.empty() && e->qs.empty()) {
     *n_align = 0;
     *n_score = 0;
     return 0;
@@ -2430,11 +2617,23 @@ void engine_post_results(void* h, const float* a_score, const int32_t* a_bx,
     e->cur_s[i]->result = s_result[i];
   {
     std::unique_lock<std::mutex> lk(e->mu);
-    for (AlignReq* r : e->cur_a) r->done = true;
-    for (ScoreReq* r : e->cur_s) r->done = true;
+    for (AlignReq* r : e->cur_a)
+      if (r->owner) r->owner->pending -= 1;
+    for (ScoreReq* r : e->cur_s)
+      if (r->owner) r->owner->pending -= 1;
     e->cur_a.clear();
     e->cur_s.clear();
-    e->cv_work.notify_all();
+    // a wave carries every pending request, so every parked fiber is
+    // satisfied; keep the pending check as a guard against partial posts
+    std::vector<Fiber*> still;
+    for (Fiber* f : e->blocked_dev) {
+      if (f->pending == 0)
+        e->runq.push_back(f);
+      else
+        still.push_back(f);
+    }
+    e->blocked_dev.swap(still);
+    e->cv_workers.notify_all();
   }
 }
 
