@@ -104,8 +104,13 @@ def get_lib():
                             ctypes.c_int32, ctypes.c_int32,
                             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
             _lib = lib
-        except Exception:
+        except Exception as e:
             _lib = None
+            _warn_fallback(
+                "native cigar/sort library unavailable (%r) — pure-Python "
+                "fallback engaged; std::sort tie replay degrades to stable "
+                "sorts, so output may not be byte-identical to the "
+                "reference (docs/DIVERGENCES.md #4)" % (e,))
         return _lib
 
 
@@ -203,9 +208,25 @@ def get_engine_lib():
             lib.engine_finish_batch.argtypes = [ctypes.c_void_p]
             lib.engine_abort_batch.argtypes = [ctypes.c_void_p]
             _engine_lib = lib
-        except Exception:
+        except Exception as e:
             _engine_lib = None
+            _warn_fallback(
+                "native assembly engine unavailable (%r) — falling back to "
+                "the Python long-read path (slower; byte-identical only "
+                "while the cigar/sort library loads)" % (e,))
         return _engine_lib
+
+
+def _warn_fallback(msg: str):
+    """One loud warning the first time a byte-identity-affecting native
+    component fails to load (VERDICT r3 weak #7: the silent degradation
+    made golden failures undiagnosable)."""
+    try:
+        from ..log import Log
+        Log.warning("%s", msg)
+    except Exception:
+        import sys
+        sys.stderr.write("WARNING: %s\n" % msg)
 
 
 def std_sort_perm_f32_segmented(keys, bounds, desc: bool = False):

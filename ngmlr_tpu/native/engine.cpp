@@ -21,6 +21,8 @@
 //
 // Interface: plain C, used via ctypes (see pipeline/native_engine.py).
 
+#include <unistd.h>
+
 #include <atomic>
 #include <algorithm>
 #include <array>
@@ -745,10 +747,15 @@ static void fiber_entry() {
 }
 
 static size_t fiber_stack_bytes() {
-  long kb = 1024;   // lazily committed (MAP_NORESERVE): virtual, not RSS
+  long kb = 2048;   // lazily committed (MAP_NORESERVE): virtual, not RSS
   if (const char* s = std::getenv("NGMLR_TPU_FIBER_STACK_KB")) kb = atol(s);
   if (kb < 128) kb = 128;
   return (size_t)kb * 1024;
+}
+
+static size_t guard_page_bytes() {
+  long ps = sysconf(_SC_PAGESIZE);
+  return ps > 0 ? (size_t)ps : 4096;
 }
 
 struct Engine {
@@ -814,17 +821,27 @@ struct Engine {
         stack_pool.pop_back();
       }
     }
+    size_t guard = guard_page_bytes();
     if (!base) {
       base = (char*)mmap(nullptr, fiber_stack, PROT_READ | PROT_WRITE,
                          MAP_PRIVATE | MAP_ANONYMOUS | MAP_NORESERVE, -1, 0);
-      if (base == MAP_FAILED) throw std::bad_alloc();
-      mprotect(base, 4096, PROT_NONE);   // guard page under the stack
+      if (base == MAP_FAILED) {
+        delete f;
+        throw std::bad_alloc();
+      }
+      // guard page under the stack (real page size, not a hardcoded 4K:
+      // on 16K/64K-page kernels a 4K mprotect rounds up over ss_sp)
+      if (mprotect(base, guard, PROT_NONE) != 0) {
+        munmap(base, fiber_stack);
+        delete f;
+        throw std::bad_alloc();
+      }
     }
     f->stack_base = base;
     f->stack_size = fiber_stack;
     getcontext(&f->ctx);
-    f->ctx.uc_stack.ss_sp = base + 4096;
-    f->ctx.uc_stack.ss_size = fiber_stack - 4096;
+    f->ctx.uc_stack.ss_sp = base + guard;
+    f->ctx.uc_stack.ss_size = fiber_stack - guard;
     f->ctx.uc_link = nullptr;
     makecontext(&f->ctx, (void (*)())fiber_entry, 0);
     return f;
@@ -940,6 +957,7 @@ struct Engine {
              std::vector<bool>* failed) {
     size_t n = fns.size();
     failed->assign(n, false);
+    if (n == 0) return;   // nothing to wait for (a park here would hang)
     if (n == 1) {
       try { fns[0](); } catch (...) { (*failed)[0] = true; }
       return;
@@ -951,9 +969,20 @@ struct Engine {
     f->park = 2;
     f->pending = (int)n;
     f->staged_children.clear();
-    for (size_t i = 0; i < n; ++i)
-      f->staged_children.push_back(
-          new_fiber(std::move(fns[i]), f, &fails[i]));
+    try {
+      for (size_t i = 0; i < n; ++i)
+        f->staged_children.push_back(
+            new_fiber(std::move(fns[i]), f, &fails[i]));
+    } catch (...) {
+      // new_fiber OOM mid-staging: free the never-run children and reset
+      // the park state so the read unwinds cleanly instead of leaking
+      std::unique_lock<std::mutex> lk(mu);
+      for (Fiber* c : f->staged_children) free_fiber_locked(c);
+      f->staged_children.clear();
+      f->park = 0;
+      f->pending = 0;
+      throw;
+    }
     park();   // resumed when the last child finishes
     for (size_t i = 0; i < n; ++i) (*failed)[i] = fails[i] != 0;
   }
