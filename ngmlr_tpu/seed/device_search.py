@@ -249,9 +249,19 @@ class DeviceSearch:
         self.bucket_start = jax.device_put(bucket_start)
         self.positions = jax.device_put(index.positions.astype(np.uint32))
 
+    def _stat(self, key: str, dt: float):
+        """Accumulate a stage-timing stat on the active DeviceContext (the
+        bench/progress observability channel)."""
+        from ..ops import device_engine
+        ctx = device_engine.current()
+        if ctx is not None:
+            with ctx._stats_lock:
+                ctx.stats[key] = ctx.stats.get(key, 0.0) + dt
+
     def search_batch(self, seqs: List[bytes], sensitivity: float = 0.8,
                      min_kmer_hits: int = 0
                      ) -> Optional[List[SubreadCandidates]]:
+        import time
         index = self.index
         k = index.k
         if not self.available or len(seqs) >= MAX_SUBS - 1:
@@ -259,6 +269,7 @@ class DeviceSearch:
         if any(len(s) >= (1 << 15) for s in seqs):
             return None   # int16 metadata
 
+        t0 = time.perf_counter()
         total = sum(len(s) for s in seqs)
         concat = np.empty(total + len(seqs), dtype=np.uint8)
         offsets = np.empty(len(seqs) + 1, dtype=np.int64)
@@ -290,9 +301,13 @@ class DeviceSearch:
         subs32[:n_kmers] = sub_idx
         subs32[n_kmers:] = MAX_SUBS - 1
 
+        self._stat("search_host_s", time.perf_counter() - t0)
+        t0 = time.perf_counter()
         votes_per_sub = np.asarray(jax.device_get(_count_kernel(
             self.bucket_start, jnp.asarray(pfx), jnp.asarray(subs32),
             np.int32(n_kmers), k=k, NK=NK_full, NS=NS_full)))[:n_seqs]
+        self._stat("search_count_s", time.perf_counter() - t0)
+        t0 = time.perf_counter()
         if votes_per_sub.max(initial=0) > NV_MAX:
             return None
 
@@ -344,7 +359,11 @@ class DeviceSearch:
                                  NS=NS, sens=float(f32(sensitivity)),
                                  min_kmer_hits=float(f32(min_kmer_hits)))
             pending.append((s0, s1, out))
+        self._stat("search_dispatch_s", time.perf_counter() - t0)
+        t0 = time.perf_counter()
         fetched = jax.device_get([out for _, _, out in pending])
+        self._stat("search_fetch_s", time.perf_counter() - t0)
+        t0 = time.perf_counter()
         for (s0, s1, _), vals in zip(pending, fetched):
             (o_sub, o_bin, o_fwd, o_rev, keep_f, keep_r, n_entries,
              k_count, overflow) = vals
@@ -387,4 +406,5 @@ class DeviceSearch:
             lo, hi = int(res_bounds[si]), int(res_bounds[si + 1])
             res.append(SubreadCandidates(out_loc[lo:hi], out_rev[lo:hi],
                                          out_cnt[lo:hi], bool(mq_zero[si])))
+        self._stat("search_post_s", time.perf_counter() - t0)
         return res
