@@ -76,15 +76,23 @@ class Pipeline:
         # fallback). Disabled for the --stdout debug modes, whose dump
         # ordering requires the serial Python path, and by NGMLR_TPU_NATIVE=0.
         self.native = None
-        self._native_lock = None
+        self._native_pool = None
         if (_os.environ.get("NGMLR_TPU_NATIVE", "1") != "0"
                 and not cfg.stdout_mode):
             try:
                 from .native_engine import NativeEngine
                 self.native = NativeEngine(self.ref, self.cfg,
                                            self.acfg.params)
-                import threading as _threading
-                self._native_lock = _threading.Lock()
+                # one engine instance per in-flight batch (an engine handle
+                # holds one batch's state): WAVE_DEPTH=2 runs two batches'
+                # waves concurrently only if each has its own engine
+                import queue as _queue
+                depth = int(_os.environ.get("NGMLR_TPU_WAVE_DEPTH", "1"))
+                self._native_pool = _queue.Queue()
+                self._native_pool.put(self.native)
+                for _ in range(max(depth - 1, 0)):
+                    self._native_pool.put(NativeEngine(self.ref, self.cfg,
+                                                       self.acfg.params))
             except Exception:
                 self.native = None
         self.stats = {"reads": 0, "mapped": 0, "unmapped": 0}
@@ -215,7 +223,15 @@ class Pipeline:
         tp = time.perf_counter()
         cands = None
         if self.dev_search is not None:
-            cands = self.dev_search.search_batch(seqs, cfg.sensitivity,
+            # descriptor path: the subreads are views of the read buffer
+            # already uploaded above — no re-encode, no k-mer upload
+            starts = np.empty(len(owners), dtype=np.int32)
+            lens = np.empty(len(owners), dtype=np.int32)
+            for oi, ((ri, j), s) in enumerate(zip(owners, seqs)):
+                starts[oi] = batch[ri].buf_offset + (0 if j < 0 else j * rpl)
+                lens[oi] = len(s)
+            cands = self.dev_search.search_views(readbuf, starts, lens,
+                                                 cfg.sensitivity,
                                                  cfg.min_kmer_hits)
         if cands is None:
             cands = search_batch(self.index, seqs, cfg.sensitivity,
@@ -282,11 +298,14 @@ class Pipeline:
                 sb = scored_by_ri[long_ris[0]][0] if long_ris else None
                 all_ris = long_ris + short_ris
                 try:
-                    with self._native_lock:
-                        outs = self.native.run_batch(
+                    eng = self._native_pool.get()
+                    try:
+                        outs = eng.run_batch(
                             self.ctx, readbuf,
                             [batch[ri] for ri in all_ris], sb,
                             shorts=[per_read_short[ri] for ri in short_ris])
+                    finally:
+                        self._native_pool.put(eng)
                 except BaseException as e:
                     # driver-level failure: every read of this batch falls
                     # back to the Python path (reference semantics: log and

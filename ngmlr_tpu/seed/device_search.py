@@ -6,14 +6,20 @@ At human-genome scale the host-side search_batch dominates wall time
 gathers into a GB-scale position list, and two 15M-element sorts). All of
 it is gather/sort/scan — XLA-native — so this module uploads the index
 once (bucket starts + positions, the same arrays the host path uses) and
-runs the whole stage on the TPU; only compact per-kmer metadata goes up
-(~8 bytes/kmer) and compacted candidate lists come back.
+computes everything else ON DEVICE. The k-mer prefixes themselves are
+extracted from the device-resident read-code buffer (the same buffer the
+scoring/alignment kernels use), so per batch the host uploads only the
+subread descriptors (two int32 per subread, ~64 KB) and downloads the
+per-subread vote counts plus the compacted candidate lists — on the
+~25 ms / ~50 MB/s tunnel this replaces the earlier ~30 MB of per-batch
+k-mer metadata traffic (measured 0.6+ s/batch, scripts/profile_search.py).
 
 Exactness: identical semantics to ngmlr_tpu.seed.candidates.search_batch
 (the host twin — the CPU path and the test oracle), which replays the
 reference's rList emergence order (CS.cpp:57-269):
 
-  * votes are GENERATED in the reference's order — k-mer emission major,
+  * votes are GENERATED in the reference's order — k-mer emission major
+    (subread-major, position ascending; N-containing k-mers emit nothing),
     forward bucket before reverse-complement bucket per k-mer, bucket
     position order — so the vote stream needs no sort at all,
   * per-(subread, bin, strand) occurrence ranks come from one stable
@@ -29,8 +35,8 @@ reference's rList emergence order (CS.cpp:57-269):
     (CollectResultsStd CS.cpp:248-263).
 
 Capacity guards (the caller falls back to the host path): subread count
-< 2^13, per-group counts < 2^18 (overflow flag), votes <= 2^26, entries
-<= 2^17.
+< 2^13, subread length <= 272, per-group counts < 2^18 (overflow flag),
+votes <= 2^26, entries <= 2^17.
 """
 
 import functools
@@ -40,7 +46,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..index.kmer_index import KmerIndex, kmer_stream, revcomp_prefix
+from ..index.kmer_index import KmerIndex
 from .candidates import SubreadCandidates, _empty
 
 f32 = np.float32
@@ -53,6 +59,9 @@ NV_MAX = 1 << 22                    # largest padded vote class: XLA sort
 # 2^22); bigger batches are split into per-subread chunks instead —
 # candidate search is independent across subreads
 BIN_SENTINEL = np.int32(1) << 29    # invalid-vote bin (> any real bin)
+SL = 272                            # dense k-mer slots per subread (the
+# pipeline's subreads are <= 256 bp, ReadProvider.cpp:60; 272 also covers
+# slightly longer ad-hoc probes)
 
 
 def _pow2(x: int, lo: int) -> int:
@@ -74,44 +83,80 @@ def _rc_dev(p, k: int):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("k", "NK", "NS"))
-def _count_kernel(bucket_start, prefix, sub, n_kmers, k: int, NK: int,
-                  NS: int):
+def _kmer_mat(codes, starts, lens, k: int):
+    """[NS, SL] k-mer prefixes + validity from the device-resident code
+    buffer (device code space A=0,T=1,G=2,C=3,N=4). Prefix encoding is
+    the reference's (char >> 1) & 3 per base (CSstatic.cpp:22-72), i.e.
+    A=0,C=1,T=2,G=3 — _KM below maps between the two spaces. k-mers
+    containing any non-ACGT code are invalid (kseq/kmer_stream N-run
+    semantics); position p is valid iff p + k <= len."""
+    NS = starts.shape[0]
+    WIN = SL + k - 1
+    _KM = jnp.asarray([0, 2, 3, 1, 0, 0, 0, 0], dtype=jnp.int32)
+    j = jnp.arange(WIN, dtype=jnp.int32)[None, :]
+    idx = jnp.minimum(starts[:, None] + j,
+                      jnp.int32(codes.shape[0] - 1))
+    win = jnp.take(codes, idx.reshape(-1),
+                   mode="clip").reshape(NS, WIN).astype(jnp.int32)
+    kmc = jnp.take(_KM, jnp.minimum(win, 7), mode="clip")
+    bad = win >= 4
+    pfx = jnp.zeros((NS, SL), jnp.int32)
+    anybad = jnp.zeros((NS, SL), bool)
+    for jj in range(k):
+        pfx = (pfx << 2) | kmc[:, jj:jj + SL]
+        anybad = anybad | bad[:, jj:jj + SL]
+    pos = jnp.arange(SL, dtype=jnp.int32)[None, :]
+    valid = (~anybad) & (pos + k <= lens[:, None])
+    return jnp.where(valid, pfx, 0), valid
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _count_kernel(bucket_start, codes, starts, lens, k: int):
     """Per-subread vote counts (the host uses them to split the batch
-    into chunks that fit the largest compiled vote class)."""
-    valid = jnp.arange(NK, dtype=jnp.int32) < n_kmers
-    rc = _rc_dev(prefix, k)
-    fc = jnp.where(valid, bucket_start[prefix + 1] - bucket_start[prefix], 0)
+    into chunks that fit the largest compiled vote class) and zero-hit
+    k-mer counts (the CS mappingQlty=0 rule input, CS.cpp:221-226)."""
+    pfx, valid = _kmer_mat(codes, starts, lens, k)
+    rc = _rc_dev(pfx, k)
+    fc = jnp.where(valid, bucket_start[pfx + 1] - bucket_start[pfx], 0)
     rcnt = jnp.where(valid, bucket_start[rc + 1] - bucket_start[rc], 0)
-    return jnp.zeros(NS, jnp.int32).at[sub].add(fc + rcnt, mode="drop")
+    votes = jnp.sum(fc + rcnt, axis=1)
+    kcnt = jnp.sum((valid & ((fc + rcnt) == 0)).astype(jnp.int32), axis=1)
+    return votes, kcnt
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "bin_size", "NK", "NV", "NS", "sens",
+    jax.jit, static_argnames=("k", "bin_size", "NSc", "NV", "sens",
                               "min_kmer_hits"))
-def _search_kernel(bucket_start, positions, prefix, meta, read_lens,
-                   n_kmers,
-                   k: int, bin_size: int, NK: int, NV: int, NS: int,
+def _search_kernel(bucket_start, positions, codes, starts, lens,
+                   s0, n_sub,
+                   k: int, bin_size: int, NSc: int, NV: int,
                    sens: float, min_kmer_hits: float):
-    """prefix int32 [NK]; meta int16 [NK, 2] = (sub, pos_in_sub);
-    read_lens int16 [NS]. Returns fixed-shape entry arrays + per-sub
-    zero-hit k-mer counts + an overflow flag."""
-    sub = meta[:, 0].astype(jnp.int32)
-    corr_f = meta[:, 1].astype(jnp.int32)
-    valid_k = jnp.arange(NK, dtype=jnp.int32) < n_kmers
-    sub = jnp.where(valid_k, sub, jnp.int32(MAX_SUBS - 1))
-    corr_r = read_lens[jnp.clip(sub, 0, NS - 1)].astype(jnp.int32) \
-        - (corr_f + k)
+    """One chunk (subreads [s0, s0 + n_sub)) of a batch. starts/lens are
+    the whole batch's int32 descriptor arrays (padded so s0 + NSc never
+    clamps); everything else — k-mer extraction, vote expansion, ranking,
+    thresholding, entry compaction — runs here. Returns fixed-shape entry
+    arrays + an overflow flag."""
+    st = jax.lax.dynamic_slice(starts, (s0,), (NSc,))
+    ln = jax.lax.dynamic_slice(lens, (s0,), (NSc,))
+    row = jnp.arange(NSc, dtype=jnp.int32)
+    ln = jnp.where(row < n_sub, ln, 0)
 
-    rc = _rc_dev(prefix, k)
-    fs = bucket_start[prefix]
-    fc = jnp.where(valid_k, bucket_start[prefix + 1] - fs, 0)
-    rs = bucket_start[rc]
-    rcnt = jnp.where(valid_k, bucket_start[rc + 1] - rs, 0)
+    pfx, valid = _kmer_mat(codes, st, ln, k)              # [NSc, SL]
+    rc = _rc_dev(pfx, k)
+    fs2 = bucket_start[pfx]
+    fc2 = jnp.where(valid, bucket_start[pfx + 1] - fs2, 0)
+    rs2 = bucket_start[rc]
+    rcnt2 = jnp.where(valid, bucket_start[rc + 1] - rs2, 0)
 
-    zero_hit = valid_k & ((fc + rcnt) == 0)
-    k_count = jnp.zeros(NS, jnp.int32).at[sub].add(
-        zero_hit.astype(jnp.int32), mode="drop")
+    NK = NSc * SL
+    posk = jnp.arange(SL, dtype=jnp.int32)[None, :]
+    sub = jnp.broadcast_to(row[:, None], (NSc, SL)).reshape(NK)
+    corr_f = jnp.broadcast_to(posk, (NSc, SL)).reshape(NK)
+    corr_r = (ln[:, None] - (posk + k)).reshape(NK)
+    fs = fs2.reshape(NK)
+    fc = fc2.reshape(NK)
+    rs = rs2.reshape(NK)
+    rcnt = rcnt2.reshape(NK)
 
     # --- votes in reference order (emission-major, fwd before rev) -------
     c = fc + rcnt
@@ -156,7 +201,7 @@ def _search_kernel(bucket_start, positions, prefix, meta, read_lens,
     thresh = run_max.astype(jnp.float32) * jnp.float32(sens)
     crossing = v_valid & (count_after.astype(jnp.float32) >= thresh)
 
-    sub_last = jnp.zeros(NS, jnp.int32).at[v_sub].max(
+    sub_last = jnp.zeros(MAX_SUBS, jnp.int32).at[v_sub].max(
         jnp.where(v_valid, run_max, 0), mode="drop")
     final_thresh = jnp.maximum(
         jnp.float32(min_kmer_hits),
@@ -167,16 +212,14 @@ def _search_kernel(bucket_start, positions, prefix, meta, read_lens,
     # first crossing VOTE INDEX per group: within a group rows are in
     # ascending vote order (idx was the sort's 3rd key), so a segmented
     # min over s_idx at crossing rows yields the group's first crossing
-    # vote. Segmented min = standard (flag, value) associative scan.
+    # vote. Scatter-min keyed by a dense segment id (the value is only
+    # consumed at each group's LAST row, where running min == full-group
+    # min) — a (flag, value) associative_scan here never finished
+    # compiling on the chip backend (scripts/profile_search.py).
     cand = jnp.where(cross_s, s_idx, jnp.int32(NV))
-
-    def combine(a, b):
-        fa, va = a
-        fb, vb = b
-        return (fa | fb, jnp.where(fb, vb, jnp.minimum(va, vb)))
-
-    _, first_cross_sorted = jax.lax.associative_scan(
-        combine, (new_grp, cand))
+    seg_id = jnp.cumsum(new_grp.astype(jnp.int32)) - 1
+    seg_min = jnp.full(NV, jnp.int32(NV)).at[seg_id].min(cand, mode="drop")
+    first_cross_sorted = seg_min[seg_id]
     grp_size_sorted = rank_sorted + 1      # running size; last row = size
 
     # group boundary rows (last row of each group) carry the group's stats
@@ -208,7 +251,7 @@ def _search_kernel(bucket_start, positions, prefix, meta, read_lens,
     # final threshold ON DEVICE before compaction: pre-filter entries are
     # plentiful (every early vote crosses while run_max is still small —
     # millions per batch); kept candidates are the compact result
-    th = final_thresh[jnp.clip(b_sub, 0, NS - 1)]
+    th = final_thresh[jnp.clip(b_sub, 0, MAX_SUBS - 1)]
     keep_f = e_fwd.astype(jnp.float32) >= th
     keep_r = e_rev.astype(jnp.float32) >= th
     entry_ok = is_entry & (e_first < NV) & (keep_f | keep_r)
@@ -225,7 +268,7 @@ def _search_kernel(bucket_start, positions, prefix, meta, read_lens,
     return (o_sub[:NE_CAP], o_bin[:NE_CAP],
             o_fwd[:NE_CAP], o_rev[:NE_CAP],
             o_kf[:NE_CAP] == 1, o_kr[:NE_CAP] == 1,
-            n_entries, k_count, overflow)
+            n_entries, overflow)
 
 
 class DeviceSearch:
@@ -261,58 +304,83 @@ class DeviceSearch:
     def search_batch(self, seqs: List[bytes], sensitivity: float = 0.8,
                      min_kmer_hits: int = 0
                      ) -> Optional[List[SubreadCandidates]]:
+        """Bytes-based entry point (tests, ad-hoc callers): encodes the
+        sequences into a temporary device code buffer, then runs the
+        descriptor path (search_views)."""
+        if any(len(s) > SL for s in seqs):
+            return None
+        from ..io.reference import _CHAR2CODE
+        import time
+        t0 = time.perf_counter()
+        total = sum(len(s) for s in seqs)
+        concat = np.full(_pow2(total + 8, 4096), 4, dtype=np.uint8)
+        starts = np.empty(len(seqs), dtype=np.int32)
+        lens = np.empty(len(seqs), dtype=np.int32)
+        pos = 0
+        for si, s in enumerate(seqs):
+            starts[si] = pos
+            lens[si] = len(s)
+            concat[pos:pos + len(s)] = _CHAR2CODE[
+                np.frombuffer(s, dtype=np.uint8)]
+            pos += len(s)
+        codes_dev = jnp.asarray(concat)
+        self._stat("search_host_s", time.perf_counter() - t0)
+        return self.search_views(codes_dev, starts, lens, sensitivity,
+                                 min_kmer_hits)
+
+    def search_views(self, codes_dev, starts: np.ndarray, lens: np.ndarray,
+                     sensitivity: float = 0.8, min_kmer_hits: int = 0
+                     ) -> Optional[List[SubreadCandidates]]:
+        """Descriptor-based entry point: subread si = codes_dev[starts[si]:
+        starts[si] + lens[si]] (device code space). codes_dev is typically
+        the batch read buffer already resident for scoring/alignment."""
         import time
         index = self.index
         k = index.k
-        if not self.available or len(seqs) >= MAX_SUBS - 1:
+        n_seqs = len(starts)
+        if not self.available:
             return None
-        if any(len(s) >= (1 << 15) for s in seqs):
-            return None   # int16 metadata
+        if n_seqs == 0:
+            return []
+        if n_seqs >= MAX_SUBS - 1:
+            # subreads are independent: big batches run as consecutive
+            # slices (the per-slice cost is one tiny descriptor upload +
+            # one counts fetch + the chunk kernels either way)
+            res: List[SubreadCandidates] = []
+            step = MAX_SUBS - 2
+            for lo in range(0, n_seqs, step):
+                part = self.search_views(codes_dev, starts[lo:lo + step],
+                                         lens[lo:lo + step], sensitivity,
+                                         min_kmer_hits)
+                if part is None:
+                    return None
+                res.extend(part)
+            return res
+        if int(np.max(lens)) > SL:
+            return None
 
         t0 = time.perf_counter()
-        total = sum(len(s) for s in seqs)
-        concat = np.empty(total + len(seqs), dtype=np.uint8)
-        offsets = np.empty(len(seqs) + 1, dtype=np.int64)
-        pos = 0
-        for si, s in enumerate(seqs):
-            offsets[si] = pos
-            n = len(s)
-            concat[pos:pos + n] = np.frombuffer(s, dtype=np.uint8)
-            concat[pos + n] = ord("N")
-            pos += n + 1
-        offsets[-1] = pos
-
-        prefixes, starts = kmer_stream(concat, k, stride=1)
-        n_kmers = len(starts)
-        if n_kmers == 0:
-            return [_empty()] * len(seqs)
-        sub_idx = (np.searchsorted(offsets, starts, side="right") - 1
-                   ).astype(np.int16)
-        pos_in = (starts - offsets[sub_idx.astype(np.int64)]
-                  ).astype(np.int16)
-        read_lens = np.asarray([len(s) for s in seqs], dtype=np.int16)
-
-        n_seqs = len(seqs)
-        NK_full = _pow2(n_kmers, 1 << 14)
-        NS_full = _pow2(n_seqs + 1, 256)
-        pfx = np.zeros(NK_full, dtype=np.int32)
-        pfx[:n_kmers] = prefixes
-        subs32 = np.zeros(NK_full, dtype=np.int32)
-        subs32[:n_kmers] = sub_idx
-        subs32[n_kmers:] = MAX_SUBS - 1
-
+        # pad by MAX_SUBS so per-chunk dynamic_slice(s0, NSc) never clamps
+        NSp = _pow2(n_seqs, 256) + MAX_SUBS
+        st_pad = np.zeros(NSp, dtype=np.int32)
+        ln_pad = np.zeros(NSp, dtype=np.int32)
+        st_pad[:n_seqs] = starts
+        ln_pad[:n_seqs] = lens
+        st_dev = jnp.asarray(st_pad)
+        ln_dev = jnp.asarray(ln_pad)
         self._stat("search_host_s", time.perf_counter() - t0)
         t0 = time.perf_counter()
-        votes_per_sub = np.asarray(jax.device_get(_count_kernel(
-            self.bucket_start, jnp.asarray(pfx), jnp.asarray(subs32),
-            np.int32(n_kmers), k=k, NK=NK_full, NS=NS_full)))[:n_seqs]
+        votes_per_sub, k_counts = jax.device_get(_count_kernel(
+            self.bucket_start, codes_dev, st_dev, ln_dev, k=k))
+        votes_per_sub = np.asarray(votes_per_sub)[:n_seqs]
+        k_counts = np.asarray(k_counts)[:n_seqs].astype(np.int64)
         self._stat("search_count_s", time.perf_counter() - t0)
         t0 = time.perf_counter()
         if votes_per_sub.max(initial=0) > NV_MAX:
             return None
 
         # split into contiguous subread chunks whose votes fit NV_MAX
-        # (subreads are independent; k-mers are subread-major)
+        # (subreads are independent)
         cums = np.cumsum(votes_per_sub)
         chunk_bounds = [0]
         base = 0
@@ -323,40 +391,25 @@ class DeviceSearch:
                 if cums[si] - base > NV_MAX:
                     return None
         chunk_bounds.append(n_seqs)
-        kmer_bounds = np.searchsorted(sub_idx, chunk_bounds)
 
         bin_size = index.bin_size
         resolve_off = (1 << (bin_size - 1)) if bin_size > 0 else 0
         parts = []
-        k_counts = np.zeros(n_seqs, dtype=np.int64)
         # dispatch every chunk's kernel before the first fetch (dispatch is
         # async; each fetch costs a ~25 ms tunnel round trip)
         pending = []
         for ci in range(len(chunk_bounds) - 1):
             s0, s1 = chunk_bounds[ci], chunk_bounds[ci + 1]
-            k0, k1 = int(kmer_bounds[ci]), int(kmer_bounds[ci + 1])
-            nk = k1 - k0
-            if nk == 0:
+            if s1 == s0:
                 continue
-            # coarse static classes to bound the (slow) XLA sort compiles:
-            # one NS, few NK/NV variants
-            NK = _pow2(nk, 1 << 19)
-            NS = MAX_SUBS
-            cp = np.zeros(NK, dtype=np.int32)
-            cp[:nk] = prefixes[k0:k1]
-            meta = np.zeros((NK, 2), dtype=np.int16)
-            meta[:nk, 0] = sub_idx[k0:k1] - s0
-            meta[:nk, 1] = pos_in[k0:k1]
-            rl = np.zeros(NS, dtype=np.int16)
-            rl[: s1 - s0] = read_lens[s0:s1]
+            NSc = _pow2(s1 - s0, 256)
             n_votes = int(cums[s1 - 1] - (cums[s0 - 1] if s0 else 0))
             NV = _pow2(max(n_votes, 1 << 20), 1 << 20)
-
             out = _search_kernel(self.bucket_start, self.positions,
-                                 jnp.asarray(cp), jnp.asarray(meta),
-                                 jnp.asarray(rl), np.int32(nk),
-                                 k=k, bin_size=bin_size, NK=NK, NV=NV,
-                                 NS=NS, sens=float(f32(sensitivity)),
+                                 codes_dev, st_dev, ln_dev,
+                                 np.int32(s0), np.int32(s1 - s0),
+                                 k=k, bin_size=bin_size, NSc=NSc, NV=NV,
+                                 sens=float(f32(sensitivity)),
                                  min_kmer_hits=float(f32(min_kmer_hits)))
             pending.append((s0, s1, out))
         self._stat("search_dispatch_s", time.perf_counter() - t0)
@@ -366,11 +419,10 @@ class DeviceSearch:
         t0 = time.perf_counter()
         for (s0, s1, _), vals in zip(pending, fetched):
             (o_sub, o_bin, o_fwd, o_rev, keep_f, keep_r, n_entries,
-             k_count, overflow) = vals
+             overflow) = vals
             if bool(overflow):
                 return None
             n_e = int(n_entries)
-            k_counts[s0:s1] = k_count[: s1 - s0]
 
             e_sub = o_sub[:n_e].astype(np.int64) + s0
             e_loc = (o_bin[:n_e].astype(np.int64) << bin_size) + resolve_off
@@ -397,7 +449,7 @@ class DeviceSearch:
             out_rev = np.zeros(0, bool)
             out_cnt = np.zeros(0, np.float32)
 
-        lens64 = read_lens.astype(np.int64)
+        lens64 = np.asarray(lens, dtype=np.int64)
         mq_zero = k_counts > ((lens64 - k + 1) * 0.9).astype(np.int64)
 
         res_bounds = np.searchsorted(out_sub, np.arange(n_seqs + 1))

@@ -75,11 +75,13 @@ def main():
     bench("gather NV from 100M (positions)",
           lambda pos, i: pos[i], positions, gidx)
     bench("cummax NV", lambda a: jax.lax.cummax(a), vals)
-    bench("associative_scan pair NV",
-          lambda f, v: jax.lax.associative_scan(
-              lambda a, b: (a[0] | b[0],
-                            jnp.where(b[0], b[1], jnp.minimum(a[1], b[1]))),
-              (f, v)), flags, vals)
+    # NOTE: a custom (flag, value) associative_scan at NV=2^22 never
+    # finished compiling within 35 min on this backend — measured twice,
+    # killed both times. Segmented reductions must use scatter/sort.
+    bench("scatter-min NV (segment_min)",
+          lambda s, v: jnp.full(NV, jnp.int32(NV)).at[s].min(v, mode="drop"),
+          jnp.asarray(np.sort(rng.integers(0, NV, NV)).astype(np.int32)),
+          vals)
     bench("cumsum NV i32", lambda a: jnp.cumsum(a), vals)
     bench("repeat NK->NV (vote expansion)",
           lambda c: jnp.repeat(jnp.arange(1 << 19, dtype=jnp.int32),
