@@ -35,8 +35,9 @@ reference's rList emergence order (CS.cpp:57-269):
     (CollectResultsStd CS.cpp:248-263).
 
 Capacity guards (the caller falls back to the host path): subread count
-< 2^13, subread length <= 272, per-group counts < 2^18 (overflow flag),
-votes <= 2^26, entries <= 2^17.
+< 2^15 per slice (bigger batches self-split), subread length <= 272,
+per-group counts < 2^16 (overflow flag), votes <= 2^22 per chunk,
+entries <= 2^16 per chunk.
 """
 
 import functools
@@ -51,8 +52,12 @@ from .candidates import SubreadCandidates, _empty
 
 f32 = np.float32
 
-COUNT_BITS = 18                     # per-group occurrence rank < 2^18
-MAX_SUBS = 1 << 13                  # subread slots per batch
+COUNT_BITS = 16                     # per-group occurrence rank < 2^16
+# (a group is one (subread, diagonal-bin, strand); its count is bounded by
+# the subread's k-mers x same-bin hits — real workloads peak in the low
+# hundreds, and the overflow flag falls back to the host path regardless)
+MAX_SUBS = 1 << 15                  # subread slots per batch (sub id and
+# rank pack into one int31 for the running-max cummax: 15 + 16 bits)
 NE_CAP = 1 << 16                    # returned entry rows per chunk
 NV_MAX = 1 << 22                    # largest padded vote class: XLA sort
 # compile time explodes beyond this (2^24 measured 40+ min vs ~5 min at
@@ -360,8 +365,11 @@ class DeviceSearch:
             return None
 
         t0 = time.perf_counter()
-        # pad by MAX_SUBS so per-chunk dynamic_slice(s0, NSc) never clamps
-        NSp = _pow2(n_seqs, 256) + MAX_SUBS
+        # pad by MAX_SUBS so per-chunk dynamic_slice(s0, NSc) never clamps;
+        # the count kernel runs on the unpadded pow2 slice (the tail would
+        # be pure wasted gather work)
+        NSp_c = _pow2(n_seqs, 256)
+        NSp = NSp_c + MAX_SUBS
         st_pad = np.zeros(NSp, dtype=np.int32)
         ln_pad = np.zeros(NSp, dtype=np.int32)
         st_pad[:n_seqs] = starts
@@ -371,7 +379,8 @@ class DeviceSearch:
         self._stat("search_host_s", time.perf_counter() - t0)
         t0 = time.perf_counter()
         votes_per_sub, k_counts = jax.device_get(_count_kernel(
-            self.bucket_start, codes_dev, st_dev, ln_dev, k=k))
+            self.bucket_start, codes_dev, st_dev[:NSp_c], ln_dev[:NSp_c],
+            k=k))
         votes_per_sub = np.asarray(votes_per_sub)[:n_seqs]
         k_counts = np.asarray(k_counts)[:n_seqs].astype(np.int64)
         self._stat("search_count_s", time.perf_counter() - t0)

@@ -57,6 +57,8 @@ def main():
     gidx = jnp.asarray(rng.integers(0, 100_000_000, NV).astype(np.int32))
     flags = jnp.asarray((rng.random(NV) < 0.01))
 
+    if os.environ.get("PROF_SKIP_PRIM"):
+        return e2e()
     print("primitives @ NV = 2^22:")
     bench("sort 1 key (i32)", lambda a: jax.lax.sort((a,), num_keys=1), g2)
     bench("sort 1 key + 1 payload",
@@ -93,6 +95,10 @@ def main():
                   kc].add(1),
               jnp.asarray(rng.integers(0, 32768, (16, 16384)).astype(np.int32)))
 
+    e2e()
+
+
+def e2e():
     # ---- full search_batch on the bench workload -------------------------
     bdir = os.environ.get("BENCH_DIR", "/tmp/ngmlr_bench_g300.0_r9000_n576_w16")
     if not os.path.isdir(bdir):
