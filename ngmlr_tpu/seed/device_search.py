@@ -118,44 +118,49 @@ def _kmer_mat(codes, starts, lens, k: int):
 @functools.partial(jax.jit, static_argnames=("k",))
 def _count_kernel(bucket_start, codes, starts, lens, k: int):
     """Per-subread vote counts (the host uses them to split the batch
-    into chunks that fit the largest compiled vote class) and zero-hit
-    k-mer counts (the CS mappingQlty=0 rule input, CS.cpp:221-226)."""
+    into chunks that fit the largest compiled vote class), zero-hit k-mer
+    counts (the CS mappingQlty=0 rule input, CS.cpp:221-226), AND the
+    per-k-mer bucket offsets/counts — kept device-resident and consumed
+    by the chunk kernels so the k-mer extraction + 4 index gathers run
+    once per batch, not once per chunk."""
     pfx, valid = _kmer_mat(codes, starts, lens, k)
     rc = _rc_dev(pfx, k)
-    fc = jnp.where(valid, bucket_start[pfx + 1] - bucket_start[pfx], 0)
-    rcnt = jnp.where(valid, bucket_start[rc + 1] - bucket_start[rc], 0)
+    fs = bucket_start[pfx]
+    fc = jnp.where(valid, bucket_start[pfx + 1] - fs, 0)
+    rs = bucket_start[rc]
+    rcnt = jnp.where(valid, bucket_start[rc + 1] - rs, 0)
     votes = jnp.sum(fc + rcnt, axis=1)
     kcnt = jnp.sum((valid & ((fc + rcnt) == 0)).astype(jnp.int32), axis=1)
-    return votes, kcnt
+    return votes, kcnt, fs, fc, rs, rcnt
 
 
 @functools.partial(
     jax.jit, static_argnames=("k", "bin_size", "NSc", "NV", "sens",
                               "min_kmer_hits"))
-def _search_kernel(bucket_start, positions, codes, starts, lens,
-                   s0, n_sub,
+def _search_kernel(positions, fs_all, fc_all, rs_all, rcnt_all, lens,
+                   s0m, delta, n_sub,
                    k: int, bin_size: int, NSc: int, NV: int,
                    sens: float, min_kmer_hits: float):
-    """One chunk (subreads [s0, s0 + n_sub)) of a batch. starts/lens are
-    the whole batch's int32 descriptor arrays (padded so s0 + NSc never
-    clamps); everything else — k-mer extraction, vote expansion, ranking,
-    thresholding, entry compaction — runs here. Returns fixed-shape entry
-    arrays + an overflow flag."""
-    st = jax.lax.dynamic_slice(starts, (s0,), (NSc,))
-    ln = jax.lax.dynamic_slice(lens, (s0,), (NSc,))
+    """One chunk (subreads [s0m + delta, s0m + delta + n_sub)) of a batch.
+    fs/fc/rs/rcnt are the count kernel's device-resident per-k-mer bucket
+    offsets/counts [NSp, SL]; the slice starts at s0m (clamped so
+    s0m + NSc fits — `delta` re-bases the row ids so sub 0 is the chunk's
+    first real subread). Vote expansion, ranking, thresholding, and entry
+    compaction run here. Returns fixed-shape entry arrays + an overflow
+    flag."""
+    ln = jax.lax.dynamic_slice(lens, (s0m,), (NSc,))
+    fs2 = jax.lax.dynamic_slice(fs_all, (s0m, 0), (NSc, SL))
+    fc2 = jax.lax.dynamic_slice(fc_all, (s0m, 0), (NSc, SL))
+    rs2 = jax.lax.dynamic_slice(rs_all, (s0m, 0), (NSc, SL))
+    rcnt2 = jax.lax.dynamic_slice(rcnt_all, (s0m, 0), (NSc, SL))
     row = jnp.arange(NSc, dtype=jnp.int32)
-    ln = jnp.where(row < n_sub, ln, 0)
-
-    pfx, valid = _kmer_mat(codes, st, ln, k)              # [NSc, SL]
-    rc = _rc_dev(pfx, k)
-    fs2 = bucket_start[pfx]
-    fc2 = jnp.where(valid, bucket_start[pfx + 1] - fs2, 0)
-    rs2 = bucket_start[rc]
-    rcnt2 = jnp.where(valid, bucket_start[rc + 1] - rs2, 0)
+    in_chunk = (row >= delta) & (row < delta + n_sub)
+    fc2 = jnp.where(in_chunk[:, None], fc2, 0)
+    rcnt2 = jnp.where(in_chunk[:, None], rcnt2, 0)
 
     NK = NSc * SL
     posk = jnp.arange(SL, dtype=jnp.int32)[None, :]
-    sub = jnp.broadcast_to(row[:, None], (NSc, SL)).reshape(NK)
+    sub = jnp.broadcast_to((row - delta)[:, None], (NSc, SL)).reshape(NK)
     corr_f = jnp.broadcast_to(posk, (NSc, SL)).reshape(NK)
     corr_r = (ln[:, None] - (posk + k)).reshape(NK)
     fs = fs2.reshape(NK)
@@ -222,9 +227,11 @@ def _search_kernel(bucket_start, positions, codes, starts, lens,
     # min) — a (flag, value) associative_scan here never finished
     # compiling on the chip backend (scripts/profile_search.py).
     cand = jnp.where(cross_s, s_idx, jnp.int32(NV))
-    seg_id = jnp.cumsum(new_grp.astype(jnp.int32)) - 1
-    seg_min = jnp.full(NV, jnp.int32(NV)).at[seg_id].min(cand, mode="drop")
-    first_cross_sorted = seg_min[seg_id]
+    # segment representative = the group's first sorted row (grp_start is
+    # already computed and unique per group — no dense-id cumsum needed)
+    seg_min = jnp.full(NV, jnp.int32(NV)).at[grp_start].min(cand,
+                                                            mode="drop")
+    first_cross_sorted = seg_min[grp_start]
     grp_size_sorted = rank_sorted + 1      # running size; last row = size
 
     # group boundary rows (last row of each group) carry the group's stats
@@ -365,11 +372,7 @@ class DeviceSearch:
             return None
 
         t0 = time.perf_counter()
-        # pad by MAX_SUBS so per-chunk dynamic_slice(s0, NSc) never clamps;
-        # the count kernel runs on the unpadded pow2 slice (the tail would
-        # be pure wasted gather work)
-        NSp_c = _pow2(n_seqs, 256)
-        NSp = NSp_c + MAX_SUBS
+        NSp = _pow2(n_seqs, 256)
         st_pad = np.zeros(NSp, dtype=np.int32)
         ln_pad = np.zeros(NSp, dtype=np.int32)
         st_pad[:n_seqs] = starts
@@ -378,9 +381,10 @@ class DeviceSearch:
         ln_dev = jnp.asarray(ln_pad)
         self._stat("search_host_s", time.perf_counter() - t0)
         t0 = time.perf_counter()
-        votes_per_sub, k_counts = jax.device_get(_count_kernel(
-            self.bucket_start, codes_dev, st_dev[:NSp_c], ln_dev[:NSp_c],
-            k=k))
+        (votes_dev, kcnt_dev, fs_dev, fc_dev, rs_dev,
+         rcnt_dev) = _count_kernel(self.bucket_start, codes_dev,
+                                   st_dev, ln_dev, k=k)
+        votes_per_sub, k_counts = jax.device_get((votes_dev, kcnt_dev))
         votes_per_sub = np.asarray(votes_per_sub)[:n_seqs]
         k_counts = np.asarray(k_counts)[:n_seqs].astype(np.int64)
         self._stat("search_count_s", time.perf_counter() - t0)
@@ -412,11 +416,14 @@ class DeviceSearch:
             if s1 == s0:
                 continue
             NSc = _pow2(s1 - s0, 256)
+            s0m = min(s0, NSp - NSc)   # clamp so the slice fits; delta
+            # re-bases row ids inside the kernel
             n_votes = int(cums[s1 - 1] - (cums[s0 - 1] if s0 else 0))
             NV = _pow2(max(n_votes, 1 << 20), 1 << 20)
-            out = _search_kernel(self.bucket_start, self.positions,
-                                 codes_dev, st_dev, ln_dev,
-                                 np.int32(s0), np.int32(s1 - s0),
+            out = _search_kernel(self.positions, fs_dev, fc_dev, rs_dev,
+                                 rcnt_dev, ln_dev,
+                                 np.int32(s0m), np.int32(s0 - s0m),
+                                 np.int32(s1 - s0),
                                  k=k, bin_size=bin_size, NSc=NSc, NV=NV,
                                  sens=float(f32(sensitivity)),
                                  min_kmer_hits=float(f32(min_kmer_hits)))
