@@ -159,10 +159,6 @@ def _search_kernel(positions, fs_all, fc_all, rs_all, rcnt_all, lens,
     rcnt2 = jnp.where(in_chunk[:, None], rcnt2, 0)
 
     NK = NSc * SL
-    posk = jnp.arange(SL, dtype=jnp.int32)[None, :]
-    sub = jnp.broadcast_to((row - delta)[:, None], (NSc, SL)).reshape(NK)
-    corr_f = jnp.broadcast_to(posk, (NSc, SL)).reshape(NK)
-    corr_r = (ln[:, None] - (posk + k)).reshape(NK)
     fs = fs2.reshape(NK)
     fc = fc2.reshape(NK)
     rs = rs2.reshape(NK)
@@ -178,14 +174,21 @@ def _search_kernel(positions, fs_all, fc_all, rs_all, rcnt_all, lens,
     j = jnp.arange(NV, dtype=jnp.int32)
     v_valid = j < total_votes
     within = j - kstart[kmer_of]
-    is_rev = within >= fc[kmer_of]
-    boff = jnp.where(is_rev, within - fc[kmer_of], within)
+    # sub / k-mer position come from the flat k-mer id arithmetically (a
+    # dense SL-slot layout) — no NV-sized gathers for them
+    sub = (kmer_of // SL) - delta
+    posk_v = kmer_of - (sub + delta) * SL
+    fc_v = fc[kmer_of]
+    is_rev = within >= fc_v
+    boff = jnp.where(is_rev, within - fc_v, within)
     pos_idx = jnp.clip(jnp.where(is_rev, rs[kmer_of], fs[kmer_of]) + boff,
                        0, positions.shape[0] - 1)
     loc = positions[pos_idx]
-    corr = jnp.where(is_rev, corr_r[kmer_of], corr_f[kmer_of])
+    corr = jnp.where(is_rev,
+                     ln[jnp.clip(sub + delta, 0, NSc - 1)] - (posk_v + k),
+                     posk_v)
     v_bin = ((loc - corr.astype(jnp.uint32)) >> bin_size).astype(jnp.int32)
-    v_sub = jnp.where(v_valid, sub[kmer_of], jnp.int32(MAX_SUBS - 1))
+    v_sub = jnp.where(v_valid, sub, jnp.int32(MAX_SUBS - 1))
     v_str = is_rev.astype(jnp.int32)
     v_bin = jnp.where(v_valid, v_bin, BIN_SENTINEL)
 
