@@ -76,6 +76,18 @@ def _pow2(x: int, lo: int) -> int:
     return v
 
 
+def _size_class(x: int, lo: int) -> int:
+    """Smallest bucket >= x from the {2^n, 1.5*2^n} size classes — halves
+    the average padding waste of pure pow2 at a modest shape-count cost."""
+    v = lo
+    while True:
+        if x <= v:
+            return v
+        if x <= v + v // 2:
+            return v + v // 2
+        v *= 2
+
+
 def _rc_dev(p, k: int):
     """Reverse-complement of 2-bit prefixes on device — mirrors
     kmer_index.revcomp_prefix (complement = XOR 0b10 per base is encoded
@@ -375,7 +387,7 @@ class DeviceSearch:
             return None
 
         t0 = time.perf_counter()
-        NSp = _pow2(n_seqs, 256)
+        NSp = _size_class(n_seqs, 256)
         st_pad = np.zeros(NSp, dtype=np.int32)
         ln_pad = np.zeros(NSp, dtype=np.int32)
         st_pad[:n_seqs] = starts
@@ -418,7 +430,7 @@ class DeviceSearch:
             s0, s1 = chunk_bounds[ci], chunk_bounds[ci + 1]
             if s1 == s0:
                 continue
-            NSc = _pow2(s1 - s0, 256)
+            NSc = min(_pow2(s1 - s0, 256), NSp)
             s0m = min(s0, NSp - NSc)   # clamp so the slice fits; delta
             # re-bases row ids inside the kernel
             n_votes = int(cums[s1 - 1] - (cums[s0 - 1] if s0 else 0))

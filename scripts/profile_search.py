@@ -94,6 +94,23 @@ def main():
                   jnp.arange(16, dtype=jnp.int32)[:, None],
                   kc].add(1),
               jnp.asarray(rng.integers(0, 32768, (16, 16384)).astype(np.int32)))
+    # row-wise sorts: same total elements as the flat NV sort, but the
+    # bitonic stage count scales with the SORT-DIM size (log^2), so short
+    # rows should be several x cheaper per element
+    g2r = jnp.asarray(rng.integers(0, 1 << 26, (4096, 1024)).astype(np.int32))
+    idxr = jnp.broadcast_to(jnp.arange(1024, dtype=jnp.int32)[None],
+                            (4096, 1024))
+    bench("row sort [4096,1024] 1 key + 1 payload",
+          lambda a, b2: jax.lax.sort((a, b2), dimension=1, num_keys=1),
+          g2r, idxr)
+    g2s = jnp.asarray(rng.integers(0, 1 << 26, (16384, 256)).astype(np.int32))
+    idxs_s = jnp.broadcast_to(jnp.arange(256, dtype=jnp.int32)[None],
+                              (16384, 256))
+    bench("row sort [16384,256] 1 key + 1 payload",
+          lambda a, b2: jax.lax.sort((a, b2), dimension=1, num_keys=1),
+          g2s, idxs_s)
+    bench("row cummax [4096,1024]",
+          lambda a: jax.lax.cummax(a, axis=1), g2r)
 
     e2e()
 
