@@ -170,38 +170,36 @@ def _search_kernel(positions, fs_all, fc_all, rs_all, rcnt_all, lens,
     fc2 = jnp.where(in_chunk[:, None], fc2, 0)
     rcnt2 = jnp.where(in_chunk[:, None], rcnt2, 0)
 
-    NK = NSc * SL
-    fs = fs2.reshape(NK)
-    fc = fc2.reshape(NK)
-    rs = rs2.reshape(NK)
-    rcnt = rcnt2.reshape(NK)
-
     # --- votes in reference order (emission-major, fwd before rev) -------
-    c = fc + rcnt
-    cum = jnp.cumsum(c)
-    total_votes = cum[NK - 1]
-    kmer_of = jnp.repeat(jnp.arange(NK, dtype=jnp.int32), c,
-                         total_repeat_length=NV)
-    kstart = cum - c
+    # fwd/rev buckets interleave as even/odd slots of one doubled k-mer
+    # table: the vote stream then needs only THREE NV-sized gathers
+    # (slot starts, slot base offsets, positions) — the expansion gathers
+    # were the chunk kernel's dominant cost (scripts/profile_search_stages)
+    NK2 = 2 * NSc * SL
+    base2 = jnp.stack([fs2, rs2], axis=-1).reshape(NK2)
+    c2 = jnp.stack([fc2, rcnt2], axis=-1).reshape(NK2)
+    cum2 = jnp.cumsum(c2)
+    total_votes = cum2[NK2 - 1]
+    kmer2 = jnp.repeat(jnp.arange(NK2, dtype=jnp.int32), c2,
+                       total_repeat_length=NV)
+    kstart2 = cum2 - c2
     j = jnp.arange(NV, dtype=jnp.int32)
     v_valid = j < total_votes
-    within = j - kstart[kmer_of]
+    boff = j - kstart2[kmer2]
+    is_rev = kmer2 & 1
+    flat_k = kmer2 >> 1
     # sub / k-mer position come from the flat k-mer id arithmetically (a
     # dense SL-slot layout) — no NV-sized gathers for them
-    sub = (kmer_of // SL) - delta
-    posk_v = kmer_of - (sub + delta) * SL
-    fc_v = fc[kmer_of]
-    is_rev = within >= fc_v
-    boff = jnp.where(is_rev, within - fc_v, within)
-    pos_idx = jnp.clip(jnp.where(is_rev, rs[kmer_of], fs[kmer_of]) + boff,
-                       0, positions.shape[0] - 1)
+    sub = (flat_k // SL) - delta
+    posk_v = flat_k - (sub + delta) * SL
+    pos_idx = jnp.clip(base2[kmer2] + boff, 0, positions.shape[0] - 1)
     loc = positions[pos_idx]
-    corr = jnp.where(is_rev,
+    corr = jnp.where(is_rev == 1,
                      ln[jnp.clip(sub + delta, 0, NSc - 1)] - (posk_v + k),
                      posk_v)
     v_bin = ((loc - corr.astype(jnp.uint32)) >> bin_size).astype(jnp.int32)
     v_sub = jnp.where(v_valid, sub, jnp.int32(MAX_SUBS - 1))
-    v_str = is_rev.astype(jnp.int32)
+    v_str = is_rev
     v_bin = jnp.where(v_valid, v_bin, BIN_SENTINEL)
 
     # --- per-(sub, bin, strand) occurrence rank: sort + inverse sort -----
@@ -213,8 +211,11 @@ def _search_kernel(positions, fs_all, fc_all, rs_all, rcnt_all, lens,
         (s_sub[1:] != s_sub[:-1]) | (s_g2[1:] != s_g2[:-1])])
     grp_start = jax.lax.cummax(jnp.where(new_grp, arange_v, -1))
     rank_sorted = arange_v - grp_start              # 0-based within group
-    # inverse permutation via a sort keyed by the permutation itself
-    _, count_after_m1 = jax.lax.sort((s_idx, rank_sorted), num_keys=1)
+    # inverse permutation via a sort keyed by the permutation itself;
+    # grp_start rides along so the crossing pass can scatter straight
+    # from vote space (no sorted-space re-gather)
+    _, count_after_m1, grp_of_vote = jax.lax.sort(
+        (s_idx, rank_sorted, grp_start), num_keys=1)
     count_after = count_after_m1 + 1
     overflow = jnp.max(jnp.where(v_valid, count_after, 0)) \
         >= (1 << COUNT_BITS)
@@ -233,19 +234,15 @@ def _search_kernel(positions, fs_all, fc_all, rs_all, rcnt_all, lens,
         sub_last.astype(jnp.float32) * jnp.float32(sens))
 
     # --- group stats in group-sorted space (groups are contiguous) -------
-    cross_s = jnp.take(crossing, s_idx)
-    # first crossing VOTE INDEX per group: within a group rows are in
-    # ascending vote order (idx was the sort's 3rd key), so a segmented
-    # min over s_idx at crossing rows yields the group's first crossing
-    # vote. Scatter-min keyed by a dense segment id (the value is only
-    # consumed at each group's LAST row, where running min == full-group
-    # min) — a (flag, value) associative_scan here never finished
-    # compiling on the chip backend (scripts/profile_search.py).
-    cand = jnp.where(cross_s, s_idx, jnp.int32(NV))
-    # segment representative = the group's first sorted row (grp_start is
-    # already computed and unique per group — no dense-id cumsum needed)
-    seg_min = jnp.full(NV, jnp.int32(NV)).at[grp_start].min(cand,
-                                                            mode="drop")
+    # first crossing VOTE INDEX per group: scatter-min of the crossing
+    # votes' indices keyed by the group representative (the group's first
+    # sorted row — unique per group; grp_of_vote maps it to vote space),
+    # consumed at each group's LAST row where running min == full-group
+    # min. A (flag, value) associative_scan here never finished compiling
+    # on the chip backend (scripts/profile_search.py).
+    candv = jnp.where(crossing, j, jnp.int32(NV))
+    seg_min = jnp.full(NV, jnp.int32(NV)).at[grp_of_vote].min(candv,
+                                                              mode="drop")
     first_cross_sorted = seg_min[grp_start]
     grp_size_sorted = rank_sorted + 1      # running size; last row = size
 
