@@ -75,5 +75,36 @@ PYEOF
 then PASS=$((PASS+1)); else FAIL=$((FAIL+1)); fi
 rm -f "$t7out"
 
+# test_8: ultra-long (50-250 kb) SV-rich dataset, pacbio preset
+# (scripts/make_ultralong_golden.py, seed 4242). Reference crashes on 3/13
+# reads individually (tests/golden/test_8_reference_crashes.txt); golden
+# holds per-read output of the 10 survivors, QUAL pre-sanitized to '*'
+# (docs/DIVERGENCES.md #1). Skippable for quick iteration:
+# NGMLR_TPU_SKIP_ULTRALONG=1 (a 250 kb read takes minutes on the CPU
+# scan fallback).
+if [ -z "${NGMLR_TPU_SKIP_ULTRALONG:-}" ]; then
+t8out=$(mktemp)
+python -m ngmlr_tpu.cli -r tests/data/test_8/ref.fa -q tests/data/test_8/reads.fa -o "$t8out" 2>/dev/null
+if python3 - "$t8out" <<'PYEOF'
+import sys
+def load(p):
+    d = {}
+    for line in open(p):
+        if line.startswith("@"): continue
+        f = line.rstrip("\n").split("\t")
+        d.setdefault(f[0], []).append(f)
+    return d
+golden = load("tests/golden/test_8_ultralong.sam")
+ours = load(sys.argv[1])
+bad = [q for q, g in golden.items() if ours.get(q) != g]
+print(f"test_8_ultralong: {len(golden)-len(bad)}/{len(golden)} reads identical")
+if bad:
+    print("first diffs:", bad[:3])
+sys.exit(1 if bad else 0)
+PYEOF
+then PASS=$((PASS+1)); else FAIL=$((FAIL+1)); fi
+rm -f "$t8out"
+fi
+
 echo "pass=$PASS fail=$FAIL"
 [ "$FAIL" -eq 0 ]
