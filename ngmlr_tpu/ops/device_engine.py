@@ -880,12 +880,13 @@ def _score_kernel(genome, readbuf, pk, Rp: int, Qp: int,
     qry = _gather_qry(readbuf, pi[:, 2], pi[:, 3], pi[:, 4], Qp)
     if impl == "pallas":
         from .pallas_kernels import score_fill, PT
+        pt = int(os.environ.get("NGMLR_TPU_SCORE_PT", str(PT)))
         P = ref.shape[0]
-        Pp = ((P + PT - 1) // PT) * PT
+        Pp = ((P + pt - 1) // pt) * pt
         ref_t = jnp.pad(ref, ((0, Pp - P), (0, 0))).astype(jnp.int32).T
         qry_t = jnp.pad(qry, ((0, Pp - P), (0, 0)),
                         constant_values=NCODE).astype(jnp.int32).T
-        best = score_fill(ref_t, qry_t)
+        best = score_fill(ref_t, qry_t, pt=pt)
         return best[0, :P].astype(jnp.float32)
     q = qry.astype(jnp.int32)
     q_ok = q < 4

@@ -520,20 +520,21 @@ def _score_kernel(ref_ref, qry_ref, best_ref, *, Rp, Qp):
     best_ref[:] = jnp.max(best_h, axis=0, keepdims=True)
 
 
-def score_fill(ref_t, qry_t):
-    """ref_t/qry_t i32 [Rp, P]/[Qp, P] (transposed, P multiple of 128).
-    Returns i32 [1, P]."""
+def score_fill(ref_t, qry_t, pt: int = PT):
+    """ref_t/qry_t i32 [Rp, P]/[Qp, P] (transposed, P multiple of pt).
+    Returns i32 [1, P]. `pt` = problems (lanes) per grid step — wider
+    tiles amortize the per-column loop overhead across more vregs."""
     Rp, P = ref_t.shape
     Qp = qry_t.shape[0]
-    grid = (P // PT,)
+    grid = (P // pt,)
     return pl.pallas_call(
         functools.partial(_score_kernel, Rp=Rp, Qp=Qp),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Rp, PT), lambda p: (0, p), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Qp, PT), lambda p: (0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rp, pt), lambda p: (0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Qp, pt), lambda p: (0, p), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, PT), lambda p: (0, p),
+        out_specs=pl.BlockSpec((1, pt), lambda p: (0, p),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, P), jnp.int32),
     )(ref_t, qry_t)
