@@ -182,17 +182,19 @@ def _search_kernel(positions, fs_all, fc_all, rs_all, rcnt_all, lens,
     total_votes = cum2[NK2 - 1]
     kmer2 = jnp.repeat(jnp.arange(NK2, dtype=jnp.int32), c2,
                        total_repeat_length=NV)
-    kstart2 = cum2 - c2
     j = jnp.arange(NV, dtype=jnp.int32)
     v_valid = j < total_votes
-    boff = j - kstart2[kmer2]
     is_rev = kmer2 & 1
     flat_k = kmer2 >> 1
     # sub / k-mer position come from the flat k-mer id arithmetically (a
-    # dense SL-slot layout) — no NV-sized gathers for them
+    # dense SL-slot layout) — no NV-sized gathers for them; the bucket
+    # position index folds the slot base and the vote-stream start into
+    # ONE difference table (every NV-sized gather costs ~30 ms on this
+    # backend regardless of table size — scripts/trace_search.py)
     sub = (flat_k // SL) - delta
     posk_v = flat_k - (sub + delta) * SL
-    pos_idx = jnp.clip(base2[kmer2] + boff, 0, positions.shape[0] - 1)
+    d2t = base2 - (cum2 - c2)
+    pos_idx = jnp.clip(j + d2t[kmer2], 0, positions.shape[0] - 1)
     loc = positions[pos_idx]
     corr = jnp.where(is_rev == 1,
                      ln[jnp.clip(sub + delta, 0, NSc - 1)] - (posk_v + k),
@@ -227,11 +229,6 @@ def _search_kernel(positions, fs_all, fc_all, rs_all, rcnt_all, lens,
     thresh = run_max.astype(jnp.float32) * jnp.float32(sens)
     crossing = v_valid & (count_after.astype(jnp.float32) >= thresh)
 
-    sub_last = jnp.zeros(MAX_SUBS, jnp.int32).at[v_sub].max(
-        jnp.where(v_valid, run_max, 0), mode="drop")
-    final_thresh = jnp.maximum(
-        jnp.float32(min_kmer_hits),
-        sub_last.astype(jnp.float32) * jnp.float32(sens))
 
     # --- group stats in group-sorted space (groups are contiguous) -------
     # first crossing VOTE INDEX per group: scatter-min of the crossing
@@ -274,8 +271,23 @@ def _search_kernel(positions, fs_all, fc_all, rs_all, rcnt_all, lens,
     e_first = jnp.minimum(b_first, jnp.where(has_next, nxt_first, NV))
     # final threshold ON DEVICE before compaction: pre-filter entries are
     # plentiful (every early vote crosses while run_max is still small —
-    # millions per batch); kept candidates are the compact result
-    th = final_thresh[jnp.clip(b_sub, 0, MAX_SUBS - 1)]
+    # millions per batch); kept candidates are the compact result.
+    # Per-sub FINAL max group count via forward + reverse packed segmented
+    # cummax over the (sub-sorted) boundary rows — the sub id in the high
+    # bits resets the running max at each sub boundary, the reverse scan
+    # uses the complemented sub id to stay non-decreasing. Replaces a
+    # scatter-max + table gather, each ~30 ms at NV (trace_search.py).
+    cmask = jnp.int32((1 << COUNT_BITS) - 1)
+    bsub_m = jnp.where(b_valid, b_sub, jnp.int32(MAX_SUBS - 1))
+    bsz_m = jnp.where(b_valid, jnp.minimum(b_size, cmask), 0)
+    fwd_max = jax.lax.cummax((bsub_m << COUNT_BITS) | bsz_m) & cmask
+    rev_max = jax.lax.cummax(
+        ((jnp.int32(MAX_SUBS - 1) - bsub_m) << COUNT_BITS) | bsz_m,
+        reverse=True) & cmask
+    th = jnp.maximum(
+        jnp.float32(min_kmer_hits),
+        jnp.maximum(fwd_max, rev_max).astype(jnp.float32)
+        * jnp.float32(sens))
     keep_f = e_fwd.astype(jnp.float32) >= th
     keep_r = e_rev.astype(jnp.float32) >= th
     entry_ok = is_entry & (e_first < NV) & (keep_f | keep_r)
