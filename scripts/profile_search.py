@@ -111,6 +111,15 @@ def main():
           g2s, idxs_s)
     bench("row cummax [4096,1024]",
           lambda a: jax.lax.cummax(a, axis=1), g2r)
+    # does one 2-column row gather beat two 1-column gathers?
+    tab1 = jnp.asarray(rng.integers(0, 1 << 28, 1 << 22).astype(np.int32))
+    tab2 = jnp.asarray(rng.integers(0, 1 << 28, 1 << 22).astype(np.int32))
+    tabr = jnp.stack([tab1, tab2], axis=-1)
+    kidx = jnp.asarray(rng.integers(0, 1 << 22, NV).astype(np.int32))
+    bench("2x single gather NV from 4M",
+          lambda a, b2, i: a[i] + b2[i], tab1, tab2, kidx)
+    bench("1x row gather [NV,2] from [4M,2]",
+          lambda t, i: t[i].sum(axis=-1), tabr, kidx)
 
     e2e()
 
