@@ -147,10 +147,17 @@ def main():
                 f.write(r.tobytes() + b"\n")
         cfg = Config()
         pipe = Pipeline(cfg, fa, use_cache=True)
+        # pass 1 pays the one-time costs (genome + index device upload over
+        # the ~50 MB/s tunnel is minutes at 3 Gbp; fresh-shape kernel
+        # compiles likewise); pass 2 is the steady-state number
+        t0 = time.time()
+        stats = pipe.run(reads, _io.BytesIO())
+        warm_s = time.time() - t0
         t0 = time.time()
         stats = pipe.run(reads, _io.BytesIO())
         map_s = time.time() - t0
         result["map_reads"] = n_map
+        result["map_warm_s"] = round(warm_s, 1)
         result["map_s"] = round(map_s, 1)
         result["reads_per_s"] = round(n_map / map_s, 2)
         result["mapped"] = stats["mapped"]
