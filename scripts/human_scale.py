@@ -141,10 +141,24 @@ def main():
                     if frag.count(b"N") < L // 4:
                         break
                 r = np.frombuffer(frag, dtype=np.uint8).copy()
-                err = rng.random(len(r))       # decode returns L-1 bytes
-                r[err < 0.01] = BASES[rng.integers(0, 4, size=int((err < 0.01).sum()))]
+                # PacBio-CLR-like ~15% error (10% ins / 4% del / 1% sub) —
+                # the reference's headline workload class (same profile as
+                # bench.py mutate_pacbio)
+                e = rng.random(len(r))
+                ins = e < 0.10
+                dele = (e >= 0.10) & (e < 0.14)
+                sub = (e >= 0.14) & (e < 0.15)
+                rand_ins = BASES[rng.integers(0, 4, len(r))]
+                rand_sub = BASES[rng.integers(0, 4, len(r))]
+                counts = np.where(dele, 0, 1 + ins.astype(np.int64))
+                ends = np.cumsum(counts)
+                out = np.empty(int(ends[-1]) if len(r) else 0, dtype=np.uint8)
+                keep = ~dele
+                out[ends[keep] - 1] = np.where(sub, rand_sub, r)[keep]
+                ins_k = ins & keep
+                out[ends[ins_k] - 2] = rand_ins[ins_k]
                 f.write(b">r%d_%d\n" % (i, pos))
-                f.write(r.tobytes() + b"\n")
+                f.write(out.tobytes() + b"\n")
         cfg = Config()
         pipe = Pipeline(cfg, fa, use_cache=True)
         # pass 1 pays the one-time costs (genome + index device upload over
