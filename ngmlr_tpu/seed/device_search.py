@@ -186,19 +186,24 @@ def _search_kernel(positions, fs_all, fc_all, rs_all, rcnt_all, lens,
     v_valid = j < total_votes
     is_rev = kmer2 & 1
     flat_k = kmer2 >> 1
-    # sub / k-mer position come from the flat k-mer id arithmetically (a
-    # dense SL-slot layout) — no NV-sized gathers for them; the bucket
-    # position index folds the slot base and the vote-stream start into
-    # ONE difference table (every NV-sized gather costs ~30 ms on this
-    # backend regardless of table size — scripts/trace_search.py)
+    # sub comes from the flat k-mer id arithmetically (a dense SL-slot
+    # layout); the bucket position index folds the slot base and the
+    # vote-stream start into a difference table, and the bin correction
+    # is per-slot too — the two ride ONE row gather ([NV, 2] from
+    # [NK2, 2] measured 2.7x cheaper than two single gathers;
+    # scripts/profile_search.py / trace_search.py)
     sub = (flat_k // SL) - delta
-    posk_v = flat_k - (sub + delta) * SL
     d2t = base2 - (cum2 - c2)
-    pos_idx = jnp.clip(j + d2t[kmer2], 0, positions.shape[0] - 1)
+    posk2 = jnp.broadcast_to(
+        jnp.arange(SL, dtype=jnp.int32)[None, :], (NSc, SL))
+    ct_f = posk2
+    ct_r = ln[:, None] - (posk2 + k)
+    ct2 = jnp.stack([ct_f, ct_r], axis=-1).reshape(NK2)
+    dt_ct = jnp.stack([d2t, ct2], axis=-1)            # [NK2, 2]
+    gv = dt_ct[kmer2]                                 # [NV, 2] row gather
+    pos_idx = jnp.clip(j + gv[:, 0], 0, positions.shape[0] - 1)
     loc = positions[pos_idx]
-    corr = jnp.where(is_rev == 1,
-                     ln[jnp.clip(sub + delta, 0, NSc - 1)] - (posk_v + k),
-                     posk_v)
+    corr = gv[:, 1]
     v_bin = ((loc - corr.astype(jnp.uint32)) >> bin_size).astype(jnp.int32)
     v_sub = jnp.where(v_valid, sub, jnp.int32(MAX_SUBS - 1))
     v_str = is_rev
