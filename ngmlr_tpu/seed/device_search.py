@@ -128,19 +128,24 @@ def _kmer_mat(codes, starts, lens, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _count_kernel(bucket_start, codes, starts, lens, k: int):
+def _count_kernel(bucket_pairs, codes, starts, lens, k: int):
     """Per-subread vote counts (the host uses them to split the batch
     into chunks that fit the largest compiled vote class), zero-hit k-mer
     counts (the CS mappingQlty=0 rule input, CS.cpp:221-226), AND the
     per-k-mer bucket offsets/counts — kept device-resident and consumed
-    by the chunk kernels so the k-mer extraction + 4 index gathers run
-    once per batch, not once per chunk."""
+    by the chunk kernels so the k-mer extraction + index gathers run
+    once per batch, not once per chunk. bucket_pairs[p] = (start, count)
+    of prefix p's bucket: one row gather per strand instead of two
+    single gathers (row gathers are ~2.7x cheaper per value here)."""
     pfx, valid = _kmer_mat(codes, starts, lens, k)
     rc = _rc_dev(pfx, k)
-    fs = bucket_start[pfx]
-    fc = jnp.where(valid, bucket_start[pfx + 1] - fs, 0)
-    rs = bucket_start[rc]
-    rcnt = jnp.where(valid, bucket_start[rc + 1] - rs, 0)
+    NS = pfx.shape[0]
+    fp = bucket_pairs[pfx.reshape(-1)].reshape(NS, SL, 2)
+    rp = bucket_pairs[rc.reshape(-1)].reshape(NS, SL, 2)
+    fs = fp[:, :, 0]
+    fc = jnp.where(valid, fp[:, :, 1], 0)
+    rs = rp[:, :, 0]
+    rcnt = jnp.where(valid, rp[:, :, 1], 0)
     votes = jnp.sum(fc + rcnt, axis=1)
     kcnt = jnp.sum((valid & ((fc + rcnt) == 0)).astype(jnp.int32), axis=1)
     return votes, kcnt, fs, fc, rs, rcnt
@@ -330,7 +335,12 @@ class DeviceSearch:
             counts[index.uniq_prefix] = np.diff(index.bucket_start)
             bucket_start = np.zeros(n_prefix + 1, np.int32)
             np.cumsum(counts, out=bucket_start[1:])
-        self.bucket_start = jax.device_put(bucket_start)
+        # (start, count) pairs per prefix — the count kernel's row-gather
+        # layout (see _count_kernel)
+        pairs = np.empty((len(bucket_start) - 1, 2), dtype=np.int32)
+        pairs[:, 0] = bucket_start[:-1]
+        pairs[:, 1] = bucket_start[1:] - bucket_start[:-1]
+        self.bucket_pairs = jax.device_put(pairs)
         self.positions = jax.device_put(index.positions.astype(np.uint32))
 
     def _stat(self, key: str, dt: float):
@@ -411,7 +421,7 @@ class DeviceSearch:
         self._stat("search_host_s", time.perf_counter() - t0)
         t0 = time.perf_counter()
         (votes_dev, kcnt_dev, fs_dev, fc_dev, rs_dev,
-         rcnt_dev) = _count_kernel(self.bucket_start, codes_dev,
+         rcnt_dev) = _count_kernel(self.bucket_pairs, codes_dev,
                                    st_dev, ln_dev, k=k)
         votes_per_sub, k_counts = jax.device_get((votes_dev, kcnt_dev))
         votes_per_sub = np.asarray(votes_per_sub)[:n_seqs]

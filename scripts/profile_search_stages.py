@@ -75,7 +75,7 @@ def main():
     st_dev = jnp.asarray(st)
     ln_dev = jnp.asarray(ln)
 
-    outs = dsm._count_kernel(ds.bucket_start, codes_dev, st_dev, ln_dev, k=k)
+    outs = dsm._count_kernel(ds.bucket_pairs, codes_dev, st_dev, ln_dev, k=k)
     votes_dev, kcnt_dev, fs_dev, fc_dev, rs_dev, rcnt_dev = outs
     votes = np.asarray(jax.device_get(votes_dev))[:n_seqs]
     print("subreads=%d votes_total=%d max_per_sub=%d"
