@@ -495,10 +495,10 @@ def convex_backtrack(dirs, ymin, bx, by, mode, ci, width, cf,
 # ungapped scoring (transposed layout: problems on lanes)
 # ---------------------------------------------------------------------------
 
-def _score_kernel(ref_ref, qry_ref, best_ref, *, Rp, Qp):
-    q = qry_ref[:]                                   # [Qp, PT] i32
+def _score_kernel(ref_ref, qry_ref, best_ref, *, Rp, Qp, pt=PT):
+    q = qry_ref[:]                                   # [Qp, pt] i32
     q_ok = q < 4
-    row0 = _iota((Qp, PT), 0) == 0
+    row0 = _iota((Qp, pt), 0) == 0
 
     def step(rc, carry):
         h, best_h = carry
@@ -515,7 +515,7 @@ def _score_kernel(ref_ref, qry_ref, best_ref, *, Rp, Qp):
             carry = step(tile[u:u + 1, :], carry)
         return carry
 
-    h0 = jnp.zeros((Qp, PT), jnp.int32)
+    h0 = jnp.zeros((Qp, pt), jnp.int32)
     _, best_h = jax.lax.fori_loop(0, Rp // 8, group, (h0, h0))
     best_ref[:] = jnp.max(best_h, axis=0, keepdims=True)
 
@@ -528,7 +528,7 @@ def score_fill(ref_t, qry_t, pt: int = PT):
     Qp = qry_t.shape[0]
     grid = (P // pt,)
     return pl.pallas_call(
-        functools.partial(_score_kernel, Rp=Rp, Qp=Qp),
+        functools.partial(_score_kernel, Rp=Rp, Qp=Qp, pt=pt),
         grid=grid,
         in_specs=[
             pl.BlockSpec((Rp, pt), lambda p: (0, p), memory_space=pltpu.VMEM),
