@@ -430,7 +430,13 @@ def main():
             sys.stderr.write("bench: skipping cached %g Mbp (needs ~%.0fs, "
                              "%.0fs left)\n" % (mbp, est, remaining_s()))
             continue
-        prep_s, map_s = run_scale(mbp, profile=True)
+        try:
+            prep_s, map_s = run_scale(mbp, profile=True)
+        except BaseException as e:   # fall through to smaller scales
+            import traceback
+            traceback.print_exc()
+            RESULT.setdefault("error", "crashed at %g Mbp: %r" % (mbp, e))
+            continue
         if prep_s is None:   # BENCH_PREP_ONLY
             RESULT.pop("error", None)
             RESULT.update({"value": 0.0, "unit": "prep-only"})
@@ -438,6 +444,17 @@ def main():
         return
 
     prev = None   # (mbp, prep_s, map_s)
+    try:
+        _scale_loop(scales, prev)
+    except BaseException as e:   # the one JSON line must land regardless
+        import traceback
+        traceback.print_exc()
+        RESULT.setdefault("error", "crashed: %r" % (e,))
+        emit(exit_code=1)
+    emit(exit_code=None)
+
+
+def _scale_loop(scales, prev):
     for i, mbp in enumerate(scales):
         if prev is not None:
             # extrapolate: prep (genome gen + index build) scales ~linearly
