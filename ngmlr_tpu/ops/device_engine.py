@@ -879,8 +879,10 @@ def _score_kernel(genome, readbuf, pk, Rp: int, Qp: int,
     ref = _gather_ref(genome, pu[:, 0], pi[:, 0], pu[:, 1], pi[:, 1], Rp)
     qry = _gather_qry(readbuf, pi[:, 2], pi[:, 3], pi[:, 4], Qp)
     if impl == "pallas":
-        from .pallas_kernels import score_fill, PT
-        pt = int(os.environ.get("NGMLR_TPU_SCORE_PT", str(PT)))
+        from .pallas_kernels import score_fill
+        # 512-lane tiles measured fastest on the chip (vs the 128 default:
+        # 4x the vregs per fori_loop step amortize the loop overhead)
+        pt = int(os.environ.get("NGMLR_TPU_SCORE_PT", "512"))
         P = ref.shape[0]
         Pp = ((P + pt - 1) // pt) * pt
         ref_t = jnp.pad(ref, ((0, Pp - P), (0, 0))).astype(jnp.int32).T
