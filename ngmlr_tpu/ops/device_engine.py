@@ -1063,14 +1063,36 @@ def _convex_kernel(genome, readbuf, pk, params, Wp: int, Hp: int,
     hmax = jnp.max(ymax - ymin + 1, axis=1)                        # [B]
 
     if impl == "pallas":
-        from .pallas_kernels import convex_fill, convex_backtrack
+        from .pallas_kernels import (convex_fill, convex_backtrack,
+                                     corridor_windows)
         # backtrack always runs K=128 blocks (2D lane constraint); pad Tp
         # to a common multiple of the fill K (a power of two <= 256) and 128
         KP = max(K, 128)
         TpP = ((Tp + KP - 1) // KP) * KP
         padT = TpP - Tp
-        ymin_p = jnp.pad(ymin, ((0, 0), (0, padT)), mode="edge")
-        ymax_p = jnp.pad(ymax, ((0, 0), (0, padT)), constant_values=-1)
+        if os.environ.get("NGMLR_TPU_YMIN_IMPL", "cw") == "cw":
+            # monotone pointer-advance kernel: both count_leq scatter
+            # histograms (~30 ms each per launch) become one cheap serial
+            # walk; windows past Tp come out empty (ymin=H > ymax=H-1),
+            # matching the edge/-1 padding semantics below
+            Bp = (B + 127) // 128 * 128
+
+            def _row(a):
+                return jnp.pad(a.astype(jnp.int32)[None, :],
+                               ((0, 0), (0, Bp - B)))
+
+            scal_cw = jnp.concatenate([
+                _row(mode), _row(ci), _row(width), _row(W), _row(H),
+                _row(jax.lax.bitcast_convert_type(pf[:, 0], jnp.int32)),
+                _row(jax.lax.bitcast_convert_type(pf[:, 1], jnp.int32)),
+                jnp.zeros((1, Bp), jnp.int32)], axis=0)
+            ymin_T, ymax_T = corridor_windows(scal_cw, TpP, K=128, GU=8)
+            ymin_p = ymin_T.T[:B]
+            ymax_p = ymax_T.T[:B]
+            hmax = jnp.max(ymax_p - ymin_p + 1, axis=1)
+        else:
+            ymin_p = jnp.pad(ymin, ((0, 0), (0, padT)), mode="edge")
+            ymax_p = jnp.pad(ymax, ((0, 0), (0, padT)), constant_values=-1)
         # deltas with ymin[-1] := 0 — the in-kernel incremental sequence
         # windows start from the (t=-1, ymin=0) state
         d1p = jnp.concatenate([ymin_p[:, :1],

@@ -492,6 +492,104 @@ def convex_backtrack(dirs, ymin, bx, by, mode, ci, width, cf,
 
 
 # ---------------------------------------------------------------------------
+# corridor windows (ymin/ymax per wavefront)
+# ---------------------------------------------------------------------------
+
+def _cw_kernel(scal_ref, ymin_ref, ymax_ref, ym_s, yx_s, *, K, GU):
+    """Per-wavefront corridor row windows by monotone pointer advance.
+
+    ymin[t] = #{y < H : y + hi(y) <= t} and ymax[t] = #{y < H :
+    y + lo(y) <= t} - 1 (the count_leq identities in
+    device_engine._convex_kernel). Both key sequences are strictly
+    increasing in y (offs is non-decreasing, +y strictly increases), so
+    each count advances by 0 or 1 per wavefront — a serial pointer walk
+    with 128 problems on lanes replaces two [B, Hp]-index scatter
+    histograms (~30 ms each per launch on this backend).
+
+    scal_ref [8, 128]: rows (mode, ci, width, W, H, k bits, d bits, -).
+    Outputs transposed [K, 128] blocks (t on sublanes: 8-aligned stores).
+    """
+    tb = pl.program_id(1)
+    BIG = jnp.int32(2 ** 30)
+    mode = scal_ref[0:1, :]
+    ci = scal_ref[1:2, :]
+    width = scal_ref[2:3, :]
+    W = scal_ref[3:4, :]
+    H = scal_ref[4:5, :]
+    k_f = jax.lax.bitcast_convert_type(scal_ref[5:6, :], jnp.float32)
+    d_f = jax.lax.bitcast_convert_type(scal_ref[6:7, :], jnp.float32)
+
+    @pl.when(tb == 0)
+    def _():
+        ym_s[:] = jnp.zeros_like(ym_s)
+        yx_s[:] = jnp.zeros_like(yx_s)
+
+    def offs(y):
+        yf = y.astype(jnp.float32)
+        endpoints = jnp.trunc((yf - d_f) / k_f).astype(jnp.int32)
+        anchors = jnp.trunc(yf / k_f - d_f).astype(jnp.int32)
+        return jnp.where(mode == CORRIDOR_FULL, ci,
+                         jnp.where(mode == CORRIDOR_LINEAR, y - ci,
+                                   jnp.where(mode == CORRIDOR_ENDPOINTS,
+                                             endpoints, anchors)))
+
+    def key_at(y, add_width):
+        o = offs(y)
+        if add_width:
+            o = o + width
+        o = jnp.clip(o, 0, W)
+        return jnp.where(y < H, y + o, BIG)
+
+    def group(g, carry):
+        ym, yx = carry
+        mn = []
+        mx = []
+        for u in range(GU):
+            t = tb * K + g * GU + u
+            ym = ym + (key_at(ym, True) <= t).astype(jnp.int32)
+            yx = yx + (key_at(yx, False) <= t).astype(jnp.int32)
+            mn.append(ym)
+            mx.append(yx - 1)
+        base = pl.multiple_of(g * GU, GU)
+        ymin_ref[pl.ds(base, GU), :] = jnp.concatenate(mn, axis=0)
+        ymax_ref[pl.ds(base, GU), :] = jnp.concatenate(mx, axis=0)
+        return ym, yx
+
+    ym, yx = jax.lax.fori_loop(0, K // GU, group, (ym_s[:], yx_s[:]))
+    ym_s[:] = ym
+    yx_s[:] = yx
+
+
+def corridor_windows(scal, TpP: int, K: int = 512, GU: int = 8,
+                     interpret: bool = False):
+    """scal i32 [8, Bp] (Bp multiple of 128) as in _cw_kernel; returns
+    (ymin [TpP, Bp], ymax [TpP, Bp]) transposed i32."""
+    Bp = scal.shape[1]
+    grid = (Bp // 128, TpP // K)
+    return pl.pallas_call(
+        functools.partial(_cw_kernel, K=K, GU=GU),
+        grid=grid,
+        interpret=interpret,
+        in_specs=[pl.BlockSpec((8, 128), lambda b, t: (0, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((K, 128), lambda b, t: (t, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 128), lambda b, t: (t, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((TpP, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((TpP, Bp), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, 128), jnp.int32),
+            pltpu.VMEM((1, 128), jnp.int32),
+        ],
+    )(scal)
+
+
+# ---------------------------------------------------------------------------
 # ungapped scoring (transposed layout: problems on lanes)
 # ---------------------------------------------------------------------------
 
