@@ -470,7 +470,10 @@ class DeviceContext:
         # time as a BT=8 tile anyway (NS-way latency hiding) so padding a
         # small wave to 32 is free
         if L <= 1024:
-            K = 128 if L > 256 else 256
+            # K=128 lets BT=32 fit the VMEM budget at L=256 (K=256 pushed
+            # it to BT=16); measured best on chip (scripts/tune_fill.py:
+            # BT=32 K=128 2.64 useful-GCUPS vs BT=16 K=256 2.45)
+            K = 128
             for BT in (32, 16, 8):
                 vmem = (BT * K * L * 4            # dirs accumulator (i32)
                         + 3 * BT * K * L          # dirs in/out blocks (u8)

@@ -59,7 +59,7 @@ def main():
           % (B, Wp, Hp, L, useful / 1e9))
 
     results = []
-    for BT, K, GU in itertools.product((8, 16, 32), (128, 256), (8, 16, 32)):
+    for BT, K, GU in itertools.product((8, 16, 32, 64), (64, 128, 256), (8,)):
         if GU > K:
             continue
         vmem = BT * K * L * 4 + 3 * BT * K * L + 10 * BT * L * 4
