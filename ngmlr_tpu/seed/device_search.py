@@ -458,11 +458,11 @@ class DeviceSearch:
             s0, s1 = chunk_bounds[ci], chunk_bounds[ci + 1]
             if s1 == s0:
                 continue
-            NSc = min(_pow2(s1 - s0, 256), NSp)
+            NSc = min(_size_class(s1 - s0, 256), NSp)
             s0m = min(s0, NSp - NSc)   # clamp so the slice fits; delta
             # re-bases row ids inside the kernel
             n_votes = int(cums[s1 - 1] - (cums[s0 - 1] if s0 else 0))
-            NV = _pow2(max(n_votes, 1 << 20), 1 << 20)
+            NV = _size_class(max(n_votes, 1 << 20), 1 << 20)
             out = _search_kernel(self.positions, fs_dev, fc_dev, rs_dev,
                                  rcnt_dev, ln_dev,
                                  np.int32(s0m), np.int32(s0 - s0m),
