@@ -1039,7 +1039,14 @@ def _convex_kernel(genome, readbuf, pk, params, Wp: int, Hp: int,
     #    i - t keys <= t. Scatter-free: for backends where scatters
     #    serialize, two lax.sorts may beat the histogram.
     rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-    _ymin_impl = os.environ.get("NGMLR_TPU_YMIN_IMPL", "hist")
+    # one documented default: the pallas path uses the corridor-window
+    # pointer-advance kernel ("cw"); the XLA twin uses the scatter
+    # histogram ("hist"). Setting NGMLR_TPU_YMIN_IMPL=hist|sort forces
+    # that formulation on either path (cw is pallas-only).
+    _ymin_impl = os.environ.get("NGMLR_TPU_YMIN_IMPL") or (
+        "cw" if impl == "pallas" else "hist")
+    if _ymin_impl == "cw" and impl != "pallas":
+        _ymin_impl = "hist"
 
     def count_leq(key):
         kc = jnp.minimum(key, jnp.int32(Tp)).astype(jnp.int32)
@@ -1059,11 +1066,15 @@ def _convex_kernel(genome, readbuf, pk, params, Wp: int, Hp: int,
         hist = jnp.zeros((B, Tp + 1), jnp.int32).at[rows, kc].add(1)
         return jnp.cumsum(hist[:, :Tp], axis=1)
 
-    ymin = count_leq(key_hi)                                       # [B, Tp]
-    ymax = count_leq(key_lo) - 1
-    # realized max window height — align_finalize checks it against the
-    # lane count L (the _lane_bound safety net)
-    hmax = jnp.max(ymax - ymin + 1, axis=1)                        # [B]
+    if _ymin_impl != "cw":
+        # (skipped entirely on the cw path: the kernel supplies
+        # ymin/ymax/hmax, and tracing the ~30 ms scatter histograms just
+        # to DCE them would still cost compile time)
+        ymin = count_leq(key_hi)                                   # [B, Tp]
+        ymax = count_leq(key_lo) - 1
+        # realized max window height — align_finalize checks it against
+        # the lane count L (the _lane_bound safety net)
+        hmax = jnp.max(ymax - ymin + 1, axis=1)                    # [B]
 
     if impl == "pallas":
         from .pallas_kernels import (convex_fill, convex_backtrack,
@@ -1073,7 +1084,7 @@ def _convex_kernel(genome, readbuf, pk, params, Wp: int, Hp: int,
         KP = max(K, 128)
         TpP = ((Tp + KP - 1) // KP) * KP
         padT = TpP - Tp
-        if os.environ.get("NGMLR_TPU_YMIN_IMPL", "cw") == "cw":
+        if _ymin_impl == "cw":
             # monotone pointer-advance kernel: both count_leq scatter
             # histograms (~30 ms each per launch) become one cheap serial
             # walk; windows past Tp come out empty (ymin=H > ymax=H-1),

@@ -535,10 +535,13 @@ def _cw_kernel(scal_ref, ymin_ref, ymax_ref, ym_s, yx_s, *, K, GU):
 
     def key_at(y, add_width):
         o = offs(y)
+        lo = jnp.clip(o, 0, W)
         if add_width:
-            o = o + width
-        o = jnp.clip(o, 0, W)
-        return jnp.where(y < H, y + o, BIG)
+            # hi = max(clip(o + width), lo): matches the count_leq twin's
+            # clamp so width <= 0 rows yield empty windows, not inverted
+            # ones (the generators keep width >= 0, but free to guard)
+            lo = jnp.maximum(jnp.clip(o + width, 0, W), lo)
+        return jnp.where(y < H, y + lo, BIG)
 
     def group(g, carry):
         ym, yx = carry

@@ -356,6 +356,24 @@ class DeviceSearch:
             with ctx._stats_lock:
                 ctx.stats[key] = ctx.stats.get(key, 0.0) + dt
 
+    _warned_len = False
+
+    def _fallback(self, reason: str):
+        """Record (and, for the length cliff, loudly warn about) a whole-
+        slice fall-back to the host search path — a large hidden perf
+        cliff otherwise (advisor r4: silent SL rejection / 2^16 rank cap
+        reversion were invisible in bench output)."""
+        self._stat("search_fallback_" + reason, 1)
+        if reason == "len" and not DeviceSearch._warned_len:
+            DeviceSearch._warned_len = True
+            from ..native import _warn_fallback
+            _warn_fallback(
+                "device candidate search rejected a batch with subread "
+                "length > %d (non-default --subread-length?) — the whole "
+                "search stage falls back to the host path, which is much "
+                "slower at large genome scales" % SL)
+        return None
+
     def search_batch(self, seqs: List[bytes], sensitivity: float = 0.8,
                      min_kmer_hits: int = 0
                      ) -> Optional[List[SubreadCandidates]]:
@@ -363,7 +381,7 @@ class DeviceSearch:
         sequences into a temporary device code buffer, then runs the
         descriptor path (search_views)."""
         if any(len(s) > SL for s in seqs):
-            return None
+            return self._fallback("len")
         from ..io.reference import _CHAR2CODE
         import time
         t0 = time.perf_counter()
@@ -412,7 +430,7 @@ class DeviceSearch:
                 res.extend(part)
             return res
         if int(np.max(lens)) > SL:
-            return None
+            return self._fallback("len")
 
         t0 = time.perf_counter()
         NSp = _size_class(n_seqs, 256)
@@ -433,7 +451,7 @@ class DeviceSearch:
         self._stat("search_count_s", time.perf_counter() - t0)
         t0 = time.perf_counter()
         if votes_per_sub.max(initial=0) > NV_MAX:
-            return None
+            return self._fallback("votes")
 
         # split into contiguous subread chunks whose votes fit NV_MAX
         # (subreads are independent)
@@ -445,7 +463,7 @@ class DeviceSearch:
                 chunk_bounds.append(si)
                 base = cums[si - 1] if si > 0 else 0
                 if cums[si] - base > NV_MAX:
-                    return None
+                    return self._fallback("votes")
         chunk_bounds.append(n_seqs)
 
         bin_size = index.bin_size
@@ -480,7 +498,7 @@ class DeviceSearch:
         for (s0, s1, _), vals in zip(pending, fetched):
             (o_sub, o_p1, o_p2, n_entries, overflow) = vals
             if bool(overflow):
-                return None
+                return self._fallback("overflow")
             n_e = int(n_entries)
 
             e_sub = o_sub[:n_e].astype(np.int64) + s0

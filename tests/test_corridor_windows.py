@@ -52,6 +52,9 @@ def test_cw_matches_hist():
     W = rng.integers(1, 400, B).astype(np.int32)
     H = rng.integers(0, 400, B).astype(np.int32)     # includes empty rows
     width = rng.integers(1, 300, B).astype(np.int32)
+    # width <= 0 rows (empty windows — the hi = max(clip, lo) clamp)
+    width[64:80] = 0
+    width[80:88] = -rng.integers(1, 50, 8).astype(np.int32)
     ci = rng.integers(-50, 200, B).astype(np.int32)
     k = rng.uniform(0.05, 3.0, B).astype(np.float32)
     d = rng.uniform(-100.0, 100.0, B).astype(np.float32)
