@@ -593,6 +593,73 @@ def corridor_windows(scal, TpP: int, K: int = 512, GU: int = 8,
 
 
 # ---------------------------------------------------------------------------
+# ragged vote expansion (device-search v2)
+# ---------------------------------------------------------------------------
+
+def _expand_kernel(bnd_ref, dd_ref, dc_ref, v0_ref,
+                   d2t_out, ct_out, slot_out, *, KT, SLP):
+    """Telescoping compare-accumulate expansion of per-slot values to the
+    per-vote [L, B] layout (device_search v2).
+
+    For vote l of a subread (lane), its k-mer slot is
+    slot(l) = #{j : bnd[j] <= l} (bnd = exclusive slot-boundary cumsum,
+    strictly the inclusive cumsum shifted by one), and any per-slot value
+    expands as val(l) = val[0] + sum_j (bnd[j] <= l) * dval[j] — so three
+    int32 accumulators over one SLP-step loop replace device_search v1's
+    NV-sized jnp.repeat (binary-search gather) + packed row gather
+    (~140 ms per 2^22 votes measured vs ~20 ms here). Exact: int32 adds.
+
+    bnd/dd/dc are [SLP, 128] blocks (row lanes), v0 [8, 128] carries
+    (d2t[0], ct[0]); outputs are [KT, 128] tiles of the transposed
+    [L, B] planes (votes on sublanes — the cw-kernel layout).
+    """
+    t = pl.program_id(1)
+    lrow = _iota((KT, 128), 0) + t * KT
+
+    def body(j, carry):
+        s_acc, d_acc, c_acc = carry
+        bj = bnd_ref[pl.ds(j, 1), :]                    # [1, 128]
+        m = bj <= lrow                                  # [KT, 128]
+        s_acc = s_acc + m.astype(jnp.int32)
+        d_acc = d_acc + jnp.where(m, dd_ref[pl.ds(j, 1), :], 0)
+        c_acc = c_acc + jnp.where(m, dc_ref[pl.ds(j, 1), :], 0)
+        return s_acc, d_acc, c_acc
+
+    z = jnp.zeros((KT, 128), jnp.int32)
+    s, d, c = jax.lax.fori_loop(0, SLP, body, (z, z, z))
+    slot_out[:] = s
+    d2t_out[:] = d + v0_ref[0:1, :]
+    ct_out[:] = c + v0_ref[1:2, :]
+
+
+def expand_votes(bnd, dd, dc, v0, L: int, KT: int = 256,
+                 interpret: bool = False):
+    """bnd/dd/dc i32 [SLP, Bp] (Bp multiple of 128), v0 i32 [8, Bp];
+    returns (slot, d2t, ct) i32 [L, Bp] transposed vote planes."""
+    SLP, Bp = bnd.shape
+    grid = (Bp // 128, L // KT)
+    tab_spec = pl.BlockSpec((SLP, 128), lambda b, t: (0, b),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((KT, 128), lambda b, t: (t, b),
+                            memory_space=pltpu.VMEM)
+    d2t, ct, slot = pl.pallas_call(
+        functools.partial(_expand_kernel, KT=KT, SLP=SLP),
+        grid=grid,
+        interpret=interpret,
+        in_specs=[tab_spec, tab_spec, tab_spec,
+                  pl.BlockSpec((8, 128), lambda b, t: (0, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((L, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((L, Bp), jnp.int32),
+        ],
+    )(bnd, dd, dc, v0)
+    return slot, d2t, ct
+
+
+# ---------------------------------------------------------------------------
 # ungapped scoring (transposed layout: problems on lanes)
 # ---------------------------------------------------------------------------
 

@@ -41,6 +41,7 @@ entries <= 2^16 per chunk.
 """
 
 import functools
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -321,6 +322,193 @@ def _search_kernel(positions, fs_all, fc_all, rs_all, rcnt_all, lens,
             n_entries, overflow)
 
 
+# --- v2 row-local chunk kernel ---------------------------------------------
+# One subread per ROW of a [B, L] launch (L = vote-count size class).
+# Motivation (scripts/bench_sort_strategies.py, measured on the chip):
+# batched row sorts cost 2-6 ms at 2^22 total elements vs 8-14 ms for
+# global sorts, and — decisively — row-LOCAL indices fit packed int32
+# scan keys, so every segmented reduction (rank-in-group, segment
+# broadcast, first-crossing min) becomes a ~2 ms cumsum/cummax instead of
+# a ~60 ms NV-sized scatter/gather. The v1 global kernel (above) remains
+# the fallback for outlier subreads (> L_V2_MAX votes) and overflow rows.
+E_CAP = 256                  # entries kept per subread row (per-row
+# overflow -> that row falls back); real subreads produce 1-50
+NE2 = 1 << 14                # compacted entry rows fetched per launch
+BL_MAX = 1 << 22             # B*L budget per launch (sort compile ceiling)
+L_V2_MAX = 1 << 15           # max vote class: row-local l must fit 15 bits
+# for the packed scan keys ((seg_rank << 16) | value etc.)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bin_size", "B", "L", "sens",
+                              "min_kmer_hits", "ec", "ne2", "expand"))
+def _search_kernel_v2(positions, fs_all, fc_all, rs_all, rcnt_all, ln_all,
+                      rows, n_real,
+                      k: int, bin_size: int, B: int, L: int,
+                      sens: float, min_kmer_hits: float,
+                      ec: int = E_CAP, ne2: int = NE2,
+                      expand: str = "xla"):
+    """Row-local candidate search: row b = subread rows[b], L vote slots.
+
+    Exact same semantics as _search_kernel / the host twin (CS.cpp
+    emergence order): emission order within a row is (k-mer slot, fwd
+    bucket then rev bucket, bucket position) = ascending l by
+    construction; groups are (bin, strand); entries are bins ordered by
+    first crossing vote. Returns per-launch compacted entries
+    (o_row, o_p1, o_p2) exactly like the v1 kernel's fetch shape, plus
+    per-row entry counts (the host re-splits and detects per-row
+    overflow: n_ent > E_CAP or entry ranks beyond NE2 fall back)."""
+    SL2 = 2 * SL
+    f32j = jnp.float32
+    ln = ln_all[rows]
+    fs2 = fs_all[rows]
+    fc2 = fc_all[rows]
+    rs2 = rs_all[rows]
+    rcnt2 = rcnt_all[rows]
+    rowi = jnp.arange(B, dtype=jnp.int32)
+    live = rowi < n_real
+    fc2 = jnp.where(live[:, None], fc2, 0)
+    rcnt2 = jnp.where(live[:, None], rcnt2, 0)
+
+    # --- slot tables (even = fwd, odd = rev, one pad slot at the end) ----
+    base2 = jnp.stack([fs2, rs2], axis=-1).reshape(B, SL2)
+    c2 = jnp.stack([fc2, rcnt2], axis=-1).reshape(B, SL2)
+    posk = jnp.broadcast_to(jnp.arange(SL, dtype=jnp.int32)[None, :],
+                            (B, SL))
+    ct2 = jnp.stack([posk, ln[:, None] - (posk + k)], axis=-1).reshape(
+        B, SL2)
+    cum2 = jnp.cumsum(c2, axis=1)
+    nv = cum2[:, -1]                                   # votes per row (<= L)
+    c2p = jnp.concatenate([c2, (L - nv)[:, None]], axis=1)
+    d2tp = jnp.concatenate(
+        [base2 - (cum2 - c2), jnp.zeros((B, 1), jnp.int32)], axis=1)
+    ct2p = jnp.concatenate([ct2, jnp.zeros((B, 1), jnp.int32)], axis=1)
+
+    # --- expansion: per-vote slot values -------------------------------
+    cols = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+    if expand == "pallas":
+        # telescoping compare-accumulate kernel (pallas_kernels.expand_
+        # votes): slot(l) = #{j: cum2[j] <= l}, values via diff sums —
+        # replaces the repeat (binary-search gather) + packed row gather
+        from ..ops.pallas_kernels import expand_votes
+        SLP = ((SL2 + 1 + 127) // 128) * 128
+        Bp = ((B + 127) // 128) * 128
+
+        def tab(x, pad_val):
+            x = jnp.pad(x, ((0, Bp - B), (0, SLP - x.shape[1])),
+                        constant_values=pad_val)
+            return x.T
+        bnd = tab(cum2, np.int32(2 ** 30))            # j -> cum2[:, j]
+        dd = tab(d2tp[:, 1:] - d2tp[:, :-1], 0)
+        dc = tab(ct2p[:, 1:] - ct2p[:, :-1], 0)
+        v0 = jnp.zeros((8, Bp), jnp.int32)
+        v0 = v0.at[0, :B].set(d2tp[:, 0]).at[1, :B].set(ct2p[:, 0])
+        slot_T, d2t_T, ct_T = expand_votes(bnd, dd, dc, v0, L)
+        slot = slot_T.T[:B]
+        pos_idx = jnp.clip(d2t_T.T[:B] + cols, 0, positions.shape[0] - 1)
+        corr = ct_T.T[:B]
+    else:
+        # flat repeat + one packed row gather (v1's expansion layout)
+        NKP = B * (SL2 + 1)
+        kmer_f = jnp.repeat(jnp.arange(NKP, dtype=jnp.int32),
+                            c2p.reshape(-1), total_repeat_length=B * L)
+        dt_ct = jnp.stack([d2tp.reshape(-1), ct2p.reshape(-1)], axis=-1)
+        gv = dt_ct[kmer_f].reshape(B, L, 2)
+        slot = kmer_f.reshape(B, L) % (SL2 + 1)
+        pos_idx = jnp.clip(gv[:, :, 0] + cols, 0, positions.shape[0] - 1)
+        corr = gv[:, :, 1]
+    loc = positions[pos_idx.reshape(-1)].reshape(B, L)
+    strand = slot & 1
+    valid = slot < SL2
+    v_bin = jnp.where(
+        valid,
+        ((loc - corr.astype(jnp.uint32)) >> bin_size).astype(jnp.int32),
+        BIN_SENTINEL)
+
+    # --- sort1: group by bin per row (stable: emission order within) ----
+    pay = (cols << 1) | strand
+    s_bin, s_pay = jax.lax.sort((v_bin, pay), dimension=1, num_keys=1)
+    st = s_pay & 1
+    l_s = s_pay >> 1
+    valid_s = s_bin < BIN_SENTINEL
+    new_seg = jnp.concatenate(
+        [jnp.ones((B, 1), bool), s_bin[:, 1:] != s_bin[:, :-1]], axis=1)
+    seg_rank = jnp.cumsum(new_seg.astype(jnp.int32), axis=1) - 1  # < L
+
+    # --- per-(bin, strand) emission ranks via packed segment broadcasts --
+    CM = jnp.int32(0xFFFF)
+    csum_r = jnp.cumsum(st, axis=1)                    # inclusive rev count
+    csum_f = (cols + 1) - csum_r
+    r_excl = csum_r - st
+    f_excl = csum_f - (1 - st)
+
+    def seg_bcast(x):
+        # broadcast x's value at each segment's first column to the whole
+        # segment: packed (col << 16 | x) cummax (x <= L <= 2^15 < 2^16)
+        p = jnp.where(new_seg, (cols << 16) | x, -1)
+        return jax.lax.cummax(p, axis=1) & CM
+
+    rb = seg_bcast(r_excl)
+    fb = seg_bcast(f_excl)
+    count_after = jnp.where(st == 1, csum_r - rb, csum_f - fb)
+    ca = jnp.where(valid_s, count_after, 0)
+
+    # --- sort2: to emission space; running max + crossing ----------------
+    _, ca_em, spos_em = jax.lax.sort((s_pay, ca, cols), dimension=1,
+                                     num_keys=1)
+    run_max = jax.lax.cummax(ca_em, axis=1)
+    crossing_em = (ca_em.astype(f32j)
+                   >= run_max.astype(f32j) * f32j(sens)) & (ca_em > 0)
+    row_max = run_max[:, -1]
+    th = jnp.maximum(f32j(min_kmer_hits),
+                     row_max.astype(f32j) * f32j(sens))[:, None]
+
+    # --- sort3: crossing back to bin-sorted space ------------------------
+    _, cross_s = jax.lax.sort((spos_em, crossing_em.astype(jnp.int32)),
+                              dimension=1, num_keys=1)
+
+    # first crossing vote (min l) per segment: packed cummax with the
+    # segment rank in the high bits (current segment dominates earlier
+    # ones) and the complemented l in the low bits (max -> min l)
+    BIGV = jnp.int32(0xFFFF)
+    cl = jnp.where((cross_s == 1) & valid_s, l_s, BIGV)
+    pm = jax.lax.cummax((seg_rank << 16) | (BIGV - cl), axis=1)
+    fc_val = BIGV - (pm & CM)
+
+    # --- entries at segment-last columns ---------------------------------
+    is_last = jnp.concatenate(
+        [new_seg[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+    nr_seg = csum_r - rb
+    nf_seg = csum_f - fb
+    keep_f = nf_seg.astype(f32j) >= th
+    keep_r = nr_seg.astype(f32j) >= th
+    entry_ok = (is_last & valid_s & (fc_val < BIGV) & (keep_f | keep_r))
+    p1 = (s_bin << 2) | (keep_f.astype(jnp.int32) << 1) \
+        | keep_r.astype(jnp.int32)
+    p2 = (jnp.minimum(nf_seg, CM) << 16) | jnp.minimum(nr_seg, CM)
+
+    # --- sort4: per-row entry order by first crossing vote ---------------
+    key4 = jnp.where(entry_ok, fc_val, jnp.int32(2 ** 30))
+    k4, o1, o2 = jax.lax.sort((key4, p1, p2), dimension=1, num_keys=1)
+    n_ent = jnp.sum(entry_ok.astype(jnp.int32), axis=1)
+    # a group of exactly 2^15 votes would overflow the p2 count packing
+    # (nf << 16 wraps the sign bit) — flag the row for host retry
+    n_ent = n_ent | ((row_max >= jnp.int32(1 << 15)).astype(jnp.int32)
+                     << 20)
+
+    # --- cross-row compaction to the v1 fetch shape ----------------------
+    EC = min(ec, L)
+    k4 = k4[:, :EC]
+    flat_ok = (k4 < 2 ** 30).reshape(-1)
+    flat_iota = jnp.arange(B * EC, dtype=jnp.int32)
+    rowid = jnp.broadcast_to(rowi[:, None], (B, EC)).reshape(-1)
+    ck, o_row, o_p1, o_p2 = jax.lax.sort(
+        (jnp.where(flat_ok, flat_iota, jnp.int32(2 ** 30)), rowid,
+         o1[:, :EC].reshape(-1), o2[:, :EC].reshape(-1)), num_keys=1)
+    ne2 = min(ne2, B * EC)
+    return (o_row[:ne2], o_p1[:ne2], o_p2[:ne2], n_ent)
+
+
 class DeviceSearch:
     """Batched candidate search on the device; search_batch returns None
     (caller uses the host path) when unsupported or over capacity."""
@@ -373,6 +561,147 @@ class DeviceSearch:
                 "search stage falls back to the host path, which is much "
                 "slower at large genome scales" % SL)
         return None
+
+    def _run_v2(self, fs_dev, fc_dev, rs_dev, rcnt_dev, ln_dev,
+                votes_per_sub, k_counts, lens, n_seqs,
+                sensitivity, min_kmer_hits
+                ) -> Optional[List[SubreadCandidates]]:
+        """Row-local launch orchestration: bucket subreads into vote-count
+        size classes, one [B, L] launch per class slice; outlier subreads
+        (> L_V2_MAX votes) and overflow rows go through v1 single-subread
+        chunks. Returns None only for a whole-batch host fallback (v1
+        count overflow on an outlier)."""
+        import time
+        index = self.index
+        k = index.k
+        bin_size = index.bin_size
+        t0 = time.perf_counter()
+        nvs = votes_per_sub.astype(np.int64)
+        NSp = int(fs_dev.shape[0])
+        classes = {}
+        outliers = []
+        for si in range(n_seqs):
+            if nvs[si] > L_V2_MAX:
+                outliers.append(si)
+            else:
+                classes.setdefault(
+                    _size_class(max(int(nvs[si]), 1), 512), []).append(si)
+        sens_f = float(f32(sensitivity))
+        mink_f = float(f32(min_kmer_hits))
+        expand = os.environ.get("NGMLR_TPU_SEARCH_EXPAND") or (
+            "pallas" if jax.default_backend() == "tpu" else "xla")
+
+        def v1_single(si):
+            NSc = min(256, NSp)
+            s0m = min(si, NSp - NSc)
+            NV = _size_class(max(int(nvs[si]), 1 << 20), 1 << 20)
+            return _search_kernel(
+                self.positions, fs_dev, fc_dev, rs_dev, rcnt_dev, ln_dev,
+                np.int32(s0m), np.int32(si - s0m), np.int32(1),
+                k=k, bin_size=bin_size, NSc=NSc, NV=NV,
+                sens=sens_f, min_kmer_hits=mink_f)
+
+        pending = []
+        for Lc in sorted(classes):
+            ids = classes[Lc]
+            # power-of-two row budget so padded B always lands on a size
+            # class (bounded compile-shape count)
+            Bmax = 8
+            while Bmax * 2 * Lc <= BL_MAX:
+                Bmax *= 2
+            for i in range(0, len(ids), Bmax):
+                grp = np.asarray(ids[i:i + Bmax], dtype=np.int32)
+                Bp = min(_size_class(len(grp), 8), Bmax)
+                rows = np.zeros(Bp, np.int32)
+                rows[:len(grp)] = grp
+                out = _search_kernel_v2(
+                    self.positions, fs_dev, fc_dev, rs_dev, rcnt_dev,
+                    ln_dev, jnp.asarray(rows), np.int32(len(grp)),
+                    k=k, bin_size=bin_size, B=Bp, L=Lc,
+                    sens=sens_f, min_kmer_hits=mink_f,
+                    ec=E_CAP, ne2=NE2, expand=expand)
+                pending.append((grp, Lc, out))
+        v1_pending = [(si, v1_single(si)) for si in outliers]
+        self._stat("search_dispatch_s", time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        fetched = jax.device_get([o for _, _, o in pending])
+        v1_fetched = jax.device_get([o for _, o in v1_pending])
+        self._stat("search_fetch_s", time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        retry = []
+        gsub_parts = []
+        p1_parts = []
+        p2_parts = []
+        for (grp, Lc, _), vals in zip(pending, fetched):
+            o_row, o_p1, o_p2, n_ent = [np.asarray(v) for v in vals]
+            over_row = (n_ent[:len(grp)] >> 20) != 0
+            n_ent = n_ent[:len(grp)] & ((1 << 20) - 1)
+            ECl = min(E_CAP, Lc)
+            ne2l = len(o_row)          # launch's effective fetch cap
+            cum = np.cumsum(np.minimum(n_ent, ECl))
+            fit = int(min(cum[-1], ne2l)) if len(cum) else 0
+            bad = over_row | (n_ent > ECl) | (cum > ne2l)
+            if bad.any():
+                retry.extend(int(s) for s in grp[bad])
+            o_row = o_row[:fit]
+            keep = ~bad[o_row]
+            gsub_parts.append(grp[o_row[keep]].astype(np.int64))
+            p1_parts.append(o_p1[:fit][keep])
+            p2_parts.append(o_p2[:fit][keep])
+        if retry:
+            self._stat("search_v2_retry", len(retry))
+            r_pend = [(si, v1_single(si)) for si in retry]
+            v1_fetched = v1_fetched + jax.device_get(
+                [o for _, o in r_pend])
+            v1_pending = v1_pending + r_pend
+        for (si, _), vals in zip(v1_pending, v1_fetched):
+            o_sub, o_p1, o_p2, n_entries, overflow = [
+                np.asarray(v) for v in vals]
+            if bool(overflow):
+                return self._fallback("overflow")
+            n_e = int(n_entries)
+            gsub_parts.append(np.full(n_e, si, dtype=np.int64))
+            p1_parts.append(o_p1[:n_e])
+            p2_parts.append(o_p2[:n_e])
+
+        # vectorized unpack over ALL entries at once (stable sub-major
+        # order: launches emit row-major, per-row entries pre-sorted)
+        gsub = np.concatenate(gsub_parts) if gsub_parts else \
+            np.zeros(0, np.int64)
+        p1 = np.concatenate(p1_parts) if p1_parts else np.zeros(0, np.int32)
+        p2 = np.concatenate(p2_parts) if p2_parts else np.zeros(0, np.int32)
+        order = np.argsort(gsub, kind="stable")
+        gsub, p1, p2 = gsub[order], p1[order], p2[order]
+        cmask = (1 << COUNT_BITS) - 1
+        resolve_off = (1 << (bin_size - 1)) if bin_size > 0 else 0
+        n_e = len(p1)
+        e_loc = ((p1 >> 2).astype(np.int64) << bin_size) + resolve_off
+        out_sub = np.repeat(gsub, 2)
+        out_loc = np.repeat(e_loc, 2)
+        out_rev = np.tile(np.array([False, True]), n_e)
+        out_cnt = np.empty(2 * n_e, np.float32)
+        out_cnt[0::2] = (p2 >> COUNT_BITS) & cmask
+        out_cnt[1::2] = p2 & cmask
+        keep2 = np.empty(2 * n_e, bool)
+        keep2[0::2] = (p1 & 2) != 0
+        keep2[1::2] = (p1 & 1) != 0
+        out_sub = out_sub[keep2]
+        out_loc = out_loc[keep2]
+        out_rev = out_rev[keep2]
+        out_cnt = out_cnt[keep2]
+
+        lens64 = np.asarray(lens, dtype=np.int64)
+        mq_zero = k_counts > ((lens64 - k + 1) * 0.9).astype(np.int64)
+        res_bounds = np.searchsorted(out_sub, np.arange(n_seqs + 1))
+        res: List[SubreadCandidates] = []
+        for si in range(n_seqs):
+            lo, hi = int(res_bounds[si]), int(res_bounds[si + 1])
+            res.append(SubreadCandidates(out_loc[lo:hi], out_rev[lo:hi],
+                                         out_cnt[lo:hi], bool(mq_zero[si])))
+        self._stat("search_post_s", time.perf_counter() - t0)
+        return res
 
     def search_batch(self, seqs: List[bytes], sensitivity: float = 0.8,
                      min_kmer_hits: int = 0
@@ -452,6 +781,11 @@ class DeviceSearch:
         t0 = time.perf_counter()
         if votes_per_sub.max(initial=0) > NV_MAX:
             return self._fallback("votes")
+
+        if os.environ.get("NGMLR_TPU_SEARCH_V2", "1") != "0":
+            return self._run_v2(fs_dev, fc_dev, rs_dev, rcnt_dev, ln_dev,
+                                votes_per_sub, k_counts, lens, n_seqs,
+                                sensitivity, min_kmer_hits)
 
         # split into contiguous subread chunks whose votes fit NV_MAX
         # (subreads are independent)
