@@ -57,8 +57,15 @@ def main():
     print("subreads: %d" % len(seqs))
 
     results = {}
-    for ver in ("0", "1"):
-        os.environ["NGMLR_TPU_SEARCH_V2"] = ver
+    modes = ("0", "1")
+    envvar = "NGMLR_TPU_SEARCH_V2"
+    if os.environ.get("COMPARE_EXPAND"):
+        # A/B the v2 expansion implementations instead of v1-vs-v2
+        os.environ["NGMLR_TPU_SEARCH_V2"] = "1"
+        envvar = "NGMLR_TPU_SEARCH_EXPAND"
+        modes = ("xla", "pallas")
+    for ver in modes:
+        os.environ[envvar] = ver
         best = None
         for it in range(3):
             for k in list(ctx.stats):
@@ -69,12 +76,14 @@ def main():
             el = time.perf_counter() - t0
             split = {k: round(v, 3) for k, v in sorted(ctx.stats.items())
                      if k.startswith("search_")}
-            print("v%s search_batch[%d]: %.2f s  (%s)  none=%s"
-                  % ("2" if ver == "1" else "1", it, el, split, out is None))
+            label = ver if envvar.endswith("EXPAND") else \
+                ("v2" if ver == "1" else "v1")
+            print("%s search_batch[%d]: %.2f s  (%s)  none=%s"
+                  % (label, it, el, split, out is None))
             if best is None or el < best:
                 best = el
         results[ver] = (best, out)
-    r1, r2 = results["0"][1], results["1"][1]
+    r1, r2 = results[modes[0]][1], results[modes[1]][1]
     if r1 is not None and r2 is not None:
         mism = 0
         for i, (a, b) in enumerate(zip(r1, r2)):
@@ -86,9 +95,9 @@ def main():
                 if mism < 4:
                     print("MISMATCH sub %d" % i)
         print("cross-check: %d/%d subreads mismatch" % (mism, len(r1)))
-    print("best: v1 %.2f s, v2 %.2f s  (%.2fx)"
-          % (results["0"][0], results["1"][0],
-             results["0"][0] / max(results["1"][0], 1e-9)))
+    print("best: %s %.2f s, %s %.2f s  (%.2fx)"
+          % (modes[0], results[modes[0]][0], modes[1], results[modes[1]][0],
+             results[modes[0]][0] / max(results[modes[1]][0], 1e-9)))
 
 
 if __name__ == "__main__":

@@ -1,10 +1,11 @@
 """Golden tests for the --stdout debug dump modes.
 
 The goldens under tests/golden/dumps/ are the reference binary's own
-stdout (ngmlr -t 1 --stdout N); all seven modes were verified
-byte-identical against it on test_2 and test_4 (modes 2/4/6 exercised by
-test_4's real SV reads). CI re-checks a representative subset — one cheap
-mode per dataset — since each mode is a full mapping run.
+stdout (ngmlr -t 1 --stdout N); all seven modes are committed and were
+verified byte-identical against it on test_2 and/or test_4 (modes 2/4/6
+exercised by test_4's real SV reads; 3/5 pinned on both datasets in
+round 5). CI re-checks a representative subset — the cheap modes — since
+each mode is a full mapping run.
 """
 
 import gzip
@@ -31,7 +32,9 @@ def _run_dump(ref, qry, mode):
 
 @pytest.mark.parametrize("dataset,mode", [
     ("test_2", 1),    # dot plot: anchors + cLIS + segments + results
+    ("test_2", 5),    # mapped segments
     ("test_4", 4),    # inversion-candidate FASTA (real SV reads)
+    ("test_4", 3),    # error profile (nm-per-position windows)
 ])
 def test_stdout_dump_matches_reference(dataset, mode):
     if dataset == "test_2":
