@@ -35,6 +35,21 @@ from .shortread import process_short_read
 INTAKE_GROUP = 10  # the reference's cBatchSize (CS.cpp:34)
 
 
+def _wave_depth() -> int:
+    """Concurrent in-flight batches. Default 2 on the TPU backend (round-5
+    measured: 144 vs 134 reads/s at 1 Gbp — straggler align waves of batch
+    N overlap batch N+1's bulk wave; byte-identity verified depth-1 vs
+    depth-2 on test_2/test_4). Default 1 elsewhere: on the 1-core CPU
+    host the extra thread starves the prep thread. NGMLR_TPU_WAVE_DEPTH
+    overrides."""
+    import os
+    v = os.environ.get("NGMLR_TPU_WAVE_DEPTH")
+    if v:
+        return int(v)
+    import jax
+    return 2 if jax.default_backend() == "tpu" else 1
+
+
 class Pipeline:
     def __init__(self, cfg: Config, reference_path: str,
                  use_cache: bool = True):
@@ -87,7 +102,7 @@ class Pipeline:
                 # holds one batch's state): WAVE_DEPTH=2 runs two batches'
                 # waves concurrently only if each has its own engine
                 import queue as _queue
-                depth = int(_os.environ.get("NGMLR_TPU_WAVE_DEPTH", "1"))
+                depth = _wave_depth()
                 self._native_pool = _queue.Queue()
                 self._native_pool.put(self.native)
                 for _ in range(max(depth - 1, 0)):
@@ -104,13 +119,14 @@ class Pipeline:
           * batch N+1's candidate search + subread scoring (host numpy +
             device score wave) runs in a background prep thread while
             earlier batches' alignment waves execute,
-          * NGMLR_TPU_WAVE_DEPTH=2 lets TWO batches' alignment waves fly
-            concurrently, so the long tail of straggler waves (retries, SV
-            realigns of a few reads) of batch N overlaps batch N+1's bulk
-            wave. On the 1-core target host this measured 28% SLOWER (GIL
-            thrash starves the prep thread), so the default is 1; it is a
-            real win only with spare host cores. SAM emission stays
-            strictly in batch order on this thread either way.
+          * wave depth 2 (the TPU default, see _wave_depth) lets TWO
+            batches' alignment waves fly concurrently, so the long tail of
+            straggler waves (retries, SV realigns of a few reads) of batch
+            N overlaps batch N+1's bulk wave. On the CPU backend the
+            default stays 1 (the extra thread starves the 1-core host's
+            prep thread; measured 28% slower pre-fiber-engine). SAM
+            emission stays strictly in batch order on this thread either
+            way.
 
         Debug-dump modes force depth 1 so stdout stays in the reference's
         single-threaded order."""
@@ -121,7 +137,7 @@ class Pipeline:
         writer.write_prolog()
         t0 = time.time()
         self._read_bp = 0
-        depth = int(os.environ.get("NGMLR_TPU_WAVE_DEPTH", "1"))
+        depth = _wave_depth()
         if self.cfg.stdout_mode:
             depth = 1
         batches = read_batches(query_path, self.cfg.batch_reads,

@@ -611,7 +611,11 @@ class DeviceSearch:
                 Bmax *= 2
             for i in range(0, len(ids), Bmax):
                 grp = np.asarray(ids[i:i + Bmax], dtype=np.int32)
-                Bp = min(_size_class(len(grp), 8), Bmax)
+                # pow2 row padding with a floor: fewer distinct (B, L)
+                # compile shapes across batches (the {2^n, 1.5*2^n}
+                # classes would double the shape count for little waste
+                # reduction — dead rows cost far less than a compile)
+                Bp = min(_pow2(len(grp), min(64, Bmax)), Bmax)
                 rows = np.zeros(Bp, np.int32)
                 rows[:len(grp)] = grp
                 out = _search_kernel_v2(
