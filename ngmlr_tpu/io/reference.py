@@ -71,6 +71,34 @@ class ReferenceGenome:
         ])
         # DualStrand doubling: ref ids are even (fwd) (SequenceProvider.cpp:404-405)
         self.ref_count = 2 * len(names)
+        # TableUnit analog (>4.29 Gbp genomes; PrefixTable.h:58-75,
+        # DIVERGENCES #5): device coordinates are uint32, so a genome whose
+        # code array exceeds one 2^UNIT_SLAB_BITS slab is addressed as
+        # (unit, local) pairs. Units are fixed-size aligned slabs with a
+        # halo overlap of UNIT_HALO, so any decode window of length
+        # <= UNIT_HALO starting in slab u = ds >> UNIT_SLAB_BITS lies
+        # entirely in that unit's device plane. Slabs are 16-aligned, so
+        # diagonal bins decompose as global_bin = local_bin + (base >> 4).
+        # NGMLR_TPU_UNIT_SLAB_BITS shrinks slabs for CI-scale unit tests.
+        self.unit_bits = int(os.environ.get("NGMLR_TPU_UNIT_SLAB_BITS",
+                                            "31"))
+        slab = 1 << self.unit_bits
+        self.n_units = max(1, -(-len(self.codes) // slab))
+        self.unit_halo = min(1 << 24, max(1 << 20, slab >> 3))
+        # device plane length (clipped at the genome end for the last unit)
+        self.unit_plane_len = min(slab + self.unit_halo, len(self.codes))
+
+    def _unitize_desc(self, ds: int, hi: int, diff: int, W: int):
+        """Absolute (ds, hi) -> unit-local RefDesc when multi-unit."""
+        from ..ops.device_engine import RefDesc
+        if self.n_units <= 1:
+            return RefDesc(ds=ds, diff=diff, hi=hi, W=W)
+        u = ds >> self.unit_bits
+        base = u << self.unit_bits
+        assert W < (1 << 28), "window exceeds the unit W packing"
+        assert hi - ds <= self.unit_halo, "window exceeds the unit halo"
+        return RefDesc(ds=ds - base, diff=diff, hi=hi - base,
+                       W=W, unit=int(u))
 
     # -- construction ---------------------------------------------------
 
@@ -224,7 +252,6 @@ class ReferenceGenome:
         index i is CODE2CHAR[codes[ds + i]] for i < hi - ds (contiguous
         span), 'x'/absent beyond. Returns None exactly when decode_window
         does."""
-        from ..ops.device_engine import RefDesc
         length = buffer_length - 2
         if position >= self.concat_len or position < 0:
             return None
@@ -234,7 +261,7 @@ class ReferenceGenome:
             length -= end
         d = (position & 1) + 2 * ((length + 1) // 2)
         hi = min(position + d, len(self.codes))
-        return RefDesc(ds=position, diff=0, hi=hi, W=(hi - position) + end)
+        return self._unitize_desc(position, hi, 0, (hi - position) + end)
 
     def decode_exact_desc(self, start_position: int, sequence_length: int):
         """Descriptor twin of decode_exact (corridor == 0, the only case the
@@ -263,7 +290,7 @@ class ReferenceGenome:
         first_pair = ds + 1 if (ds & 1) else ds
         hi = min(first_pair + 2 * ((decode_end - ds + 1) // 2),
                  len(self.codes))
-        return RefDesc(ds=ds, diff=diff, hi=hi, W=W)
+        return self._unitize_desc(ds, hi, diff, W)
 
     def _decode_span(self, start_pos: int, end_pos: int) -> bytes:
         """decode() (SequenceProvider.cpp:475-490): bases [start, ~end]."""

@@ -99,11 +99,17 @@ def _size_class(x: int, lo: int) -> int:
 class RefDesc:
     """Device recipe for a decoded reference window of length W:
     window[i] = CODE2CHAR[genome[ds + i - diff]] if (i >= diff and i < W and
-    ds + i - diff < hi) else 'x'. Produced by ReferenceGenome.decode_*_desc."""
+    ds + i - diff < hi) else 'x'. Produced by ReferenceGenome.decode_*_desc.
+
+    For multi-unit genomes (> one 2^31 slab; the reference's TableUnit
+    analog, PrefixTable.h:58-75) ds/hi are UNIT-LOCAL and `unit` names the
+    device genome plane; the packers carry the unit in the W column's high
+    bits (W < 2^28 asserted at build)."""
     ds: int
     diff: int
     hi: int
     W: int
+    unit: int = 0
 
 
 @dataclass(frozen=True)
@@ -172,7 +178,8 @@ class DeviceContext:
     (same kernels, same per-problem math, order preserved on gather)."""
 
     def __init__(self, genome_codes: np.ndarray,
-                 n_devices: Optional[int] = None):
+                 n_devices: Optional[int] = None,
+                 unit_spec: Optional[Tuple[int, int, int]] = None):
         _enable_compilation_cache()
         avail = jax.local_device_count()
         nd_env = os.environ.get("NGMLR_TPU_DEVICES")
@@ -205,10 +212,23 @@ class DeviceContext:
         # recompile (measured 800+ s on first contact with a new genome).
         # Padding is N-codes; gathers mask by hi/valid and never read it
         # as sequence.
-        n = _size_class(self.genome_len + 8, 1 << 20)
-        buf = np.full(n, NCODE, dtype=np.uint8)
-        buf[: self.genome_len] = genome_codes
-        self.genome = self._put_replicated(buf)
+        self.n_units = 1 if unit_spec is None else int(unit_spec[0])
+        if self.n_units > 1:
+            # TableUnit analog (DIVERGENCES #5): genome planes [U, planeP],
+            # descriptors carry (unit, local ds/hi); see RefDesc
+            _, bits, plane_len = unit_spec
+            planeP = _size_class(int(plane_len) + 8, 1 << 20)
+            planes = np.full((self.n_units, planeP), NCODE, dtype=np.uint8)
+            for u in range(self.n_units):
+                base = u << bits
+                seg = genome_codes[base: base + plane_len]
+                planes[u, : len(seg)] = seg
+            self.genome = self._put_replicated(planes)
+        else:
+            n = _size_class(self.genome_len + 8, 1 << 20)
+            buf = np.full(n, NCODE, dtype=np.uint8)
+            buf[: self.genome_len] = genome_codes
+            self.genome = self._put_replicated(buf)
         self.readbuf = None
         self.readbuf_len = 0
         self._i32 = self.genome_len < 2 ** 31 - 2
@@ -307,7 +327,7 @@ class DeviceContext:
                 p = problems[i]
                 pku[bi, 0] = p.ref.ds
                 pku[bi, 1] = p.ref.hi
-                pk[bi, 2:7] = (p.ref.diff, p.ref.W,
+                pk[bi, 2:7] = (p.ref.diff, p.ref.W | (p.ref.unit << 28),
                                p.qry.start, p.qry.length, 1 if p.qry.rev else 0)
             scores, cnt = self._score_call(readbuf, pk, Rp, Qp, s_impl)
             pending.append((idxs, scores, cnt))
@@ -338,7 +358,7 @@ class DeviceContext:
         P = len(pk)
         if P == 0:
             return None
-        W = pk[:, 3].astype(np.int64)
+        W = (pk[:, 3] & ((1 << 28) - 1)).astype(np.int64)  # high bits: unit
         qlen = np.maximum(pk[:, 5].astype(np.int64), 1)
         Rp = np.where(
             W <= 512,
@@ -553,7 +573,7 @@ class DeviceContext:
         import time
         t0 = time.perf_counter()
         pkf = pk_all.view(np.float32)
-        W = pk_all[:, 3].astype(np.int64)
+        W = (pk_all[:, 3] & ((1 << 28) - 1)).astype(np.int64)  # hi: unit
         qlen = pk_all[:, 5].astype(np.int64)
         width = pk_all[:, 9].astype(np.int64)
         mode = pk_all[:, 7]
@@ -807,7 +827,7 @@ class DeviceContext:
         for bi, p in enumerate(problems):
             pku[bi, 0] = p.ref.ds
             pku[bi, 1] = p.ref.hi
-            pk[bi, 2:10] = (p.ref.diff, p.ref.W,
+            pk[bi, 2:10] = (p.ref.diff, p.ref.W | (p.ref.unit << 28),
                             p.qry.start, p.qry.length,
                             1 if p.qry.rev else 0,
                             p.corridor_mode, p.corridor_i, p.width)
@@ -836,22 +856,35 @@ class DeviceContext:
 # kernels
 # ---------------------------------------------------------------------------
 
-def _gather_ref(genome, ds, diff, hi, W, Wp):
+def _gather_ref(genome, ds, diff, hi, W, Wp, unit=None):
     """[B, Wp] window codes per RefDesc rule. ds/hi: uint32 absolute genome
-    positions; diff/W: int32 window-relative. Out-of-window lanes may wrap
-    in uint32 arithmetic — they are masked by `valid` (which never wraps:
-    i >= diff implies pos = ds + (i - diff) >= ds >= 0 exactly)."""
+    positions (unit-LOCAL when genome is a 2D unit-plane stack and `unit`
+    selects the plane per problem); diff/W: int32 window-relative.
+    Out-of-window lanes may wrap in uint32 arithmetic — they are masked by
+    `valid` (which never wraps: i >= diff implies pos = ds + (i - diff) >=
+    ds >= 0 exactly)."""
     B = ds.shape[0]
     i = jnp.arange(Wp, dtype=jnp.int32)[None, :]
     rel = (i - diff[:, None]).astype(jnp.uint32)
     pos = ds[:, None] + rel
     valid = ((i >= diff[:, None]) & (i < W[:, None]) & (pos < hi[:, None]))
-    idx = jnp.minimum(pos, jnp.uint32(genome.shape[0] - 1))
+    idx = jnp.minimum(pos, jnp.uint32(genome.shape[-1] - 1))
     # mode="clip": idx is already clamped, and the default mode's
     # negative-wrap adjustment (idx + len) overflows int32 tracing for a
     # > 2^31-byte genome with x64 off
-    codes = jnp.take(genome, idx.reshape(-1),
-                     mode="clip").reshape(B, Wp)
+    if genome.ndim == 2:
+        # multi-unit genome (TableUnit analog): gather each plane, select
+        # by the problem's unit id — U is tiny (<= 4 at 8.5 Gbp), so U
+        # gathers + selects beat a flat index that would not fit uint32
+        codes = jnp.take(genome[0], idx.reshape(-1),
+                         mode="clip").reshape(B, Wp)
+        for u in range(1, genome.shape[0]):
+            cu = jnp.take(genome[u], idx.reshape(-1),
+                          mode="clip").reshape(B, Wp)
+            codes = jnp.where((unit == u)[:, None], cu, codes)
+    else:
+        codes = jnp.take(genome, idx.reshape(-1),
+                         mode="clip").reshape(B, Wp)
     return jnp.where(valid, codes, jnp.uint8(XCODE))
 
 
@@ -879,7 +912,13 @@ def _score_kernel(genome, readbuf, pk, Rp: int, Qp: int,
     hi u32, diff, W, qstart, qlen, qrev). Returns f32 [P]."""
     pu = jax.lax.bitcast_convert_type(pk[:, 0:2], jnp.uint32)
     pi = pk[:, 2:7]
-    ref = _gather_ref(genome, pu[:, 0], pi[:, 0], pu[:, 1], pi[:, 1], Rp)
+    W_raw = pi[:, 1]
+    unit = None
+    if genome.ndim == 2:
+        unit = W_raw >> 28
+        W_raw = W_raw & ((1 << 28) - 1)
+    ref = _gather_ref(genome, pu[:, 0], pi[:, 0], pu[:, 1], W_raw, Rp,
+                      unit=unit)
     qry = _gather_qry(readbuf, pi[:, 2], pi[:, 3], pi[:, 4], Qp)
     if impl == "pallas":
         from .pallas_kernels import score_fill
@@ -1008,12 +1047,17 @@ def _convex_kernel(genome, readbuf, pk, params, Wp: int, Hp: int,
     mat, mis, go, ge, gemin, gdecay = [params[i] for i in range(6)]
 
     W = pi[:, 1]
+    unit = None
+    if genome.ndim == 2:
+        unit = W >> 28
+        W = W & ((1 << 28) - 1)
     H = pi[:, 3]
     mode = pi[:, 5]
     ci = pi[:, 6]
     width = pi[:, 7]
 
-    ref = _gather_ref(genome, pu[:, 0], pi[:, 0], pu[:, 1], pi[:, 1], Wp)
+    ref = _gather_ref(genome, pu[:, 0], pi[:, 0], pu[:, 1], W, Wp,
+                      unit=unit)
     qry = _gather_qry(readbuf, pi[:, 2], pi[:, 3], pi[:, 4], Hp)
     zpad = jnp.zeros((B, L), dtype=jnp.uint8)
     ref_pad = jnp.concatenate([zpad, ref, zpad], axis=1)

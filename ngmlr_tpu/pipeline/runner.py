@@ -66,8 +66,14 @@ class Pipeline:
         # pool, NGM.cpp:334-348, becomes data parallelism over wave
         # problems on a local device mesh; output is bit-identical for
         # any -t, like the reference's test_3 determinism contract)
+        unit_spec = None
+        if self.ref.n_units > 1:
+            # TableUnit analog (>4.29 Gbp genomes, DIVERGENCES #5)
+            unit_spec = (self.ref.n_units, self.ref.unit_bits,
+                         self.ref.unit_plane_len)
         self.ctx = device_engine.DeviceContext(self.ref.codes,
-                                               n_devices=cfg.threads)
+                                               n_devices=cfg.threads,
+                                               unit_spec=unit_spec)
         device_engine.set_current(self.ctx)
         # candidate search runs on device when a chip is present (the
         # host path is the oracle/CPU fallback; at human scale it
@@ -77,6 +83,8 @@ class Pipeline:
         import jax as _jax
         use_dev = _os.environ.get("NGMLR_TPU_DEVICE_SEARCH")
         big_genome = len(self.ref.codes) >= 100_000_000
+        if self.ref.n_units > 1:
+            use_dev = "0"   # uint32 device tables; host search carries int64
         if use_dev == "1" or (use_dev != "0" and big_genome
                               and _jax.default_backend() == "tpu"):
             # the device path's sorts cost ~1 s/batch independent of
@@ -92,8 +100,16 @@ class Pipeline:
         # ordering requires the serial Python path, and by NGMLR_TPU_NATIVE=0.
         self.native = None
         self._native_pool = None
+        if self.ref.n_units > 1:
+            from ..native import _warn_fallback
+            _warn_fallback(
+                "multi-unit genome (> one 2^%d slab): the native long-read "
+                "engine does not carry unit descriptors yet — using the "
+                "Python assembly path (slower, same output)"
+                % self.ref.unit_bits)
         if (_os.environ.get("NGMLR_TPU_NATIVE", "1") != "0"
-                and not cfg.stdout_mode):
+                and not cfg.stdout_mode
+                and self.ref.n_units == 1):
             try:
                 from .native_engine import NativeEngine
                 self.native = NativeEngine(self.ref, self.cfg,
@@ -251,7 +267,9 @@ class Pipeline:
                                                  cfg.min_kmer_hits)
         if cands is None:
             cands = search_batch(self.index, seqs, cfg.sensitivity,
-                                 cfg.min_kmer_hits)
+                                 cfg.min_kmer_hits,
+                                 n_units=self.ref.n_units,
+                                 unit_bits=self.ref.unit_bits)
         self.ctx.stats["prep_search_s"] = (
             self.ctx.stats.get("prep_search_s", 0.0)
             + time.perf_counter() - tp)

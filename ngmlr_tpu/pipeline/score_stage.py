@@ -124,6 +124,13 @@ def score_read_batch(ref: ReferenceGenome, cfg: Config,
         d = (pos & 1) + 2 * ((ln + 1) // 2)
         hi = np.minimum(pos + d, len(ref.codes))
         W = (hi - pos) + end
+        if ref.n_units > 1:
+            # TableUnit analog: unit-local ds/hi, unit id in W's high bits
+            u = np.where(valid, pos >> ref.unit_bits, 0)
+            base = u << ref.unit_bits
+            pos = pos - base
+            hi = hi - base
+            W = W | (u << 28)
         pk = np.zeros((P, 7), dtype=np.int32)
         pku = pk.view(np.uint32)
         pku[:, 0] = np.where(valid, pos, 0).astype(np.uint32)

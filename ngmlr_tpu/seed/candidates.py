@@ -50,8 +50,14 @@ def _empty():
 
 
 def search_batch(index: KmerIndex, seqs: List[bytes], sensitivity: float = 0.8,
-                 min_kmer_hits: int = 0) -> List[SubreadCandidates]:
-    """Vectorized candidate search over a batch of subread sequences."""
+                 min_kmer_hits: int = 0, n_units: int = 1,
+                 unit_bits: int = 31) -> List[SubreadCandidates]:
+    """Vectorized candidate search over a batch of subread sequences.
+
+    n_units > 1 (TableUnit analog, >4.29 Gbp genomes): votes of one k-mer
+    emit in the reference's RefEntry-chain order — unit-major, forward
+    bucket before reverse per unit (GetRefEntry, PrefixTable.cpp:476-532)
+    — instead of the flat fwd-then-rev order."""
     k = index.k
     bin_size = index.bin_size
     sens = f32(sensitivity)
@@ -95,13 +101,15 @@ def search_batch(index: KmerIndex, seqs: List[bytes], sensitivity: float = 0.8,
         total = int(cnt.sum())
         if total == 0:
             z = np.zeros(0, np.int64)
-            return z, z, z, z
+            return z, z, z, z, z
         rep_sub = np.repeat(sub_idx, cnt)
         rep_emit = np.repeat(emit_idx, cnt)
         offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
         locs = index.positions[np.repeat(starts, cnt) + offs]
         bins = (locs - np.repeat(corr, cnt)) >> bin_size
-        return rep_sub, bins, rep_emit, offs
+        units = (locs >> unit_bits) if n_units > 1 else \
+            np.zeros(total, np.int64)
+        return rep_sub, bins, rep_emit, offs, units
 
     fwd = expand(fwd_cnt, fwd_start, positions)
     rev_corr = read_lens[sub_idx] - (positions + k)
@@ -111,6 +119,7 @@ def search_batch(index: KmerIndex, seqs: List[bytes], sensitivity: float = 0.8,
     bins_all = np.concatenate([fwd[1], rev[1]])
     emit_all = np.concatenate([fwd[2], rev[2]])
     within = np.concatenate([fwd[3], rev[3]])
+    unit_all = np.concatenate([fwd[4], rev[4]])
     strand = np.concatenate([np.zeros(len(fwd[0]), np.int8),
                              np.ones(len(rev[0]), np.int8)])
 
@@ -125,14 +134,17 @@ def search_batch(index: KmerIndex, seqs: List[bytes], sensitivity: float = 0.8,
     # loc >= 1000 > correction (<= 256). Fail over to lexsort (identical
     # order, slower) rather than silently OR-ing sign bits into the key if
     # that invariant ever breaks.
+    ub = max(int(n_units) - 1, 1).bit_length() if n_units > 1 else 0
     nonneg = (len(bins_all) == 0
               or (int(bins_all.min()) >= 0 and int(within.min()) >= 0))
-    if nonneg and sb + eb + wb + 1 < 63 and sb + bb + 1 < 63:
-        vote_key = ((((sub_all << eb) | emit_all) << 1
-                     | strand.astype(np.int64)) << wb) | within
+    if nonneg and sb + eb + ub + wb + 1 < 63 and sb + bb + 1 < 63:
+        vote_key = ((((sub_all << eb) | emit_all) << ub | unit_all) << 1
+                    | strand.astype(np.int64))
+        vote_key = (vote_key << wb) | within
         vote_order = np.argsort(vote_key, kind="stable")
     else:
-        vote_order = np.lexsort((within, strand, emit_all, sub_all))
+        vote_order = np.lexsort((within, strand, unit_all, emit_all,
+                                 sub_all))
     v_sub = sub_all[vote_order]
     v_bin = bins_all[vote_order]
     v_str = strand[vote_order]

@@ -516,6 +516,18 @@ class DeviceSearch:
     def __init__(self, index: KmerIndex):
         self.index = index
         self.available = True
+        if len(index.positions) and index.positions.dtype == np.int64 \
+                and int(index.positions[-1]) >= 2 ** 32:
+            # cheap necessary check (positions are bucket-sorted, so the
+            # last bucket's tail being >= 2^32 implies a multi-unit
+            # genome); the Pipeline gates on ref.n_units before
+            # constructing a DeviceSearch — this guards ad-hoc callers
+            self.available = False
+            from ..native import _warn_fallback
+            _warn_fallback(
+                "multi-unit genome: device candidate search needs per-unit "
+                "uint32 tables — falling back to the host search path")
+            return
         if index.uniq_prefix is None:
             bucket_start = index.bucket_start.astype(np.int32)
         else:
