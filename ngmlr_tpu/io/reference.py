@@ -83,8 +83,14 @@ class ReferenceGenome:
         self.unit_bits = int(os.environ.get("NGMLR_TPU_UNIT_SLAB_BITS",
                                             "31"))
         slab = 1 << self.unit_bits
-        self.n_units = max(1, -(-len(self.codes) // slab))
         self.unit_halo = min(1 << 24, max(1 << 20, slab >> 3))
+        # units only engage when flat uint32 addressing (2 slabs' worth:
+        # 2^32 bases at the default 2^31 slab) no longer covers the
+        # genome — a <= 4.29 Gbp genome stays exactly on the flat path
+        if len(self.codes) + 16 <= 2 * slab:
+            self.n_units = 1
+        else:
+            self.n_units = -(-len(self.codes) // slab)
         # device plane length (clipped at the genome end for the last unit)
         self.unit_plane_len = min(slab + self.unit_halo, len(self.codes))
 
