@@ -304,7 +304,7 @@ def run_scale(genome_mbp: float, profile: bool):
     # distribution is visible
     best = None
     passes = []
-    for _ in range(int(os.environ.get("BENCH_PASSES", "2"))):
+    for _ in range(int(os.environ.get("BENCH_PASSES", "3"))):
         s0 = dict(pipeline.ctx.stats)
         c0 = cpu_times()
         t0 = time.time()
@@ -420,16 +420,34 @@ def main():
 
     # Warm machine (prep artifacts on disk, e.g. from scripts/bench_prep.py
     # or a previous run): go straight for the LARGEST cached scale — its
-    # cost is load + warmup + timed passes, well inside the budget — and
-    # stop on success; the headline number is the largest completed scale.
+    # cost is load + warmup + timed passes — and stop on success; the
+    # headline number is the largest completed scale. Before the big
+    # scale, bank a small-scale INSURANCE result when the budget allows:
+    # if the big run outlives the deadline (e.g. a cold compile cache),
+    # the watchdog still emits a real number instead of an error line.
     # Cold machine: ascending progressive escalation with extrapolation,
     # so at least the smallest scale always lands.
+    def est_s(mbp):
+        # measured round 5 (warm compile cache): pinned 3 Gbp runs =
+        # 616-797 s wall (load ~130 + 7.3 GB upload ~160 + warmup +
+        # passes, with large tunnel-mood variance); ~0.18 s/Mbp of
+        # data movement + ~80 s fixed
+        return 0.18 * mbp + 80.0
+
     cached = sorted((m for m in scales if cache_ready(m)), reverse=True)
+    if len(cached) > 1:
+        # the largest smaller scale whose estimate fits the budget LEFT
+        # OVER after the big attempt — its banked result is what the
+        # watchdog emits if the big run overruns the deadline
+        spare = remaining_s() - est_s(cached[0]) - 15.0
+        ins = [m for m in cached[1:] if est_s(m) <= spare]
+        if ins:
+            try:
+                run_scale(ins[0], profile=False)   # banks into RESULT
+            except BaseException:
+                pass
     for mbp in cached:
-        # warm-run bound per measured 3 Gbp runs (round 5): npz load
-        # ~0.03 s/Mbp, device upload ~0.05 s/Mbp over the ~50 MB/s
-        # tunnel (genome + index ~2.4 GB/Gbp), warmup+passes ~240 s
-        est = 0.12 * mbp + 240.0
+        est = est_s(mbp)
         if remaining_s() < est + 15.0:
             sys.stderr.write("bench: skipping cached %g Mbp (needs ~%.0fs, "
                              "%.0fs left)\n" % (mbp, est, remaining_s()))
