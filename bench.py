@@ -435,19 +435,28 @@ def main():
         return 0.18 * mbp + 80.0
 
     cached = sorted((m for m in scales if cache_ready(m)), reverse=True)
+    ins_mbp = None
     if len(cached) > 1:
-        # the largest smaller scale whose estimate fits the budget LEFT
-        # OVER after the big attempt — its banked result is what the
-        # watchdog emits if the big run overruns the deadline
-        spare = remaining_s() - est_s(cached[0]) - 15.0
-        ins = [m for m in cached[1:] if est_s(m) <= spare]
+        # bank the largest smaller scale that costs well under half the
+        # budget FIRST — it is both the watchdog's fallback (if the big
+        # attempt overruns: tunnel-mood variance measured 616-797 s for
+        # identical warm 3 Gbp runs) and the result we emit directly when
+        # the big scale no longer fits afterwards. With the default
+        # 840 s deadline this banks 1000 Mbp, then attempts 3000 only
+        # if the remaining budget still covers it.
+        ins = [m for m in cached[1:]
+               if est_s(m) <= remaining_s() * 0.45]
         if ins:
+            ins_mbp = ins[0]
             try:
-                run_scale(ins[0], profile=False)   # banks into RESULT
+                run_scale(ins_mbp, profile=False)   # banks into RESULT
             except BaseException:
-                pass
+                ins_mbp = None
     for mbp in cached:
         est = est_s(mbp)
+        if mbp == ins_mbp and "error" not in RESULT:
+            emit(exit_code=None)   # already banked this scale's result
+            return
         if remaining_s() < est + 15.0:
             sys.stderr.write("bench: skipping cached %g Mbp (needs ~%.0fs, "
                              "%.0fs left)\n" % (mbp, est, remaining_s()))
