@@ -277,7 +277,14 @@ def run_scale(genome_mbp: float, profile: bool):
     cfg = Config()
     if os.environ.get("BENCH_BATCH_READS"):
         cfg.batch_reads = int(os.environ["BENCH_BATCH_READS"])
+
+    def _mark(what):
+        sys.stderr.write("bench[%g]: %s at +%.0fs\n"
+                         % (genome_mbp, what, time.time() - T_START))
+        sys.stderr.flush()
+    _mark("workdir ready")
     pipeline = Pipeline(cfg, ref_path, use_cache=True)
+    _mark("pipeline init (ref+index load)")
     if os.environ.get("BENCH_PREP_ONLY"):
         # generate workdir + encoded-ref/index caches only (run on CPU so
         # the chip-time bench pays neither generation nor index build)
@@ -291,7 +298,9 @@ def run_scale(genome_mbp: float, profile: bool):
     # steady-state mapping throughput, not one-time JIT compilation (which
     # the on-disk compilation cache amortizes across runs anyway)
     pipeline.run(warmup_path, io.BytesIO())
+    _mark("warmup pass (spread lengths)")
     pipeline.run(reads_path, io.BytesIO())
+    _mark("warmup pass (timed set)")
 
     sampler = None
     if profile and os.environ.get("BENCH_SAMPLE"):
