@@ -49,7 +49,7 @@ import jax
 import jax.numpy as jnp
 
 from ..index.kmer_index import KmerIndex
-from .candidates import SubreadCandidates, _empty
+from .candidates import SubreadCandidates
 
 f32 = np.float32
 
