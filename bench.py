@@ -9,12 +9,16 @@ Baseline: the reference maps ~3 Gbp of PacBio reads in ~90 min on a 10-core
 Opteron node (README "Introduction") ≈ 60 reads/s at ~8.9 kb mean read
 length (BASELINE.md). vs_baseline = our reads/s divided by that 60 r/s.
 
-Un-losable by construction: the bench escalates genome scale 30 → 100 →
-300 Mbp, updating a best-so-far result after each completed scale, and a
-watchdog (BENCH_DEADLINE_S) plus SIGTERM/SIGINT handlers print that result
-as the one JSON line no matter how the process ends. A cold machine always
-captures at least the 30 Mbp number; `genome_mbp` in the JSON says honestly
-which scale completed. Set BENCH_GENOME_MBP to pin a single scale.
+Deadline discipline: a watchdog (BENCH_DEADLINE_S, default 840 s) plus
+SIGTERM/SIGINT handlers print the best-so-far result as the one JSON
+line no matter how the process ends. With pre-generated caches
+(scripts/bench_prep.py) the bench runs the LARGEST scale whose measured
+cost estimate fits the budget — 1000 Mbp under the default deadline,
+3000 Mbp with BENCH_DEADLINE_S >= ~1200 (each scale pays ~500-800 s of
+cached-executable loads on this backend before its 3 timed passes).
+A cold machine escalates 30 → 100 → 300 Mbp instead, updating the
+result after each completed scale. `genome_mbp` in the JSON says
+honestly which scale completed. Set BENCH_GENOME_MBP to pin one scale.
 
 Prints exactly one JSON line.
 """
@@ -293,14 +297,18 @@ def run_scale(genome_mbp: float, profile: bool):
         return None, None
 
     t_map0 = time.time()
-    # warmup: trigger kernel compiles/traces — once on the spread of warmup
-    # lengths, once on the timed set itself so the timed pass measures
-    # steady-state mapping throughput, not one-time JIT compilation (which
-    # the on-disk compilation cache amortizes across runs anyway)
-    pipeline.run(warmup_path, io.BytesIO())
-    _mark("warmup pass (spread lengths)")
-    pipeline.run(reads_path, io.BytesIO())
-    _mark("warmup pass (timed set)")
+    # Warmup policy (round 5): loading the ~50 cached executables a scale
+    # touches costs ~500-800 s on this backend REGARDLESS of which pass
+    # triggers it (measured: the 16-read spread-length warmup alone took
+    # 700-800 s warm). So by default no separate warmup runs: the FIRST
+    # timed pass absorbs the loads and best-of-3 discards it. The spread
+    # warmup (extra shape coverage beyond the timed set) is opt-in for
+    # cache-priming sessions via BENCH_FULL_WARMUP=1.
+    if os.environ.get("BENCH_FULL_WARMUP"):
+        pipeline.run(warmup_path, io.BytesIO())
+        _mark("warmup pass (spread lengths)")
+        pipeline.run(reads_path, io.BytesIO())
+        _mark("warmup pass (timed set)")
 
     sampler = None
     if profile and os.environ.get("BENCH_SAMPLE"):
@@ -437,35 +445,17 @@ def main():
     # Cold machine: ascending progressive escalation with extrapolation,
     # so at least the smallest scale always lands.
     def est_s(mbp):
-        # measured round 5 (warm compile cache): pinned 3 Gbp runs =
-        # 616-797 s wall (load ~130 + 7.3 GB upload ~160 + warmup +
-        # passes, with large tunnel-mood variance); ~0.18 s/Mbp of
-        # data movement + ~80 s fixed
-        return 0.18 * mbp + 80.0
+        # measured round 5: a scale's wall cost is DOMINATED by loading
+        # its ~50 cached executables (~500-800 s regardless of scale,
+        # large run-to-run variance) + data movement (~0.1 s/Mbp of npz
+        # load + device upload over the ~50 MB/s tunnel). Under the
+        # default 840 s deadline this admits exactly ONE attempt, at
+        # 1000 Mbp; 3000 needs a ~1200 s budget (BENCH_DEADLINE_S).
+        return 0.1 * mbp + 650.0
 
     cached = sorted((m for m in scales if cache_ready(m)), reverse=True)
-    ins_mbp = None
-    if len(cached) > 1:
-        # bank the largest smaller scale that costs well under half the
-        # budget FIRST — it is both the watchdog's fallback (if the big
-        # attempt overruns: tunnel-mood variance measured 616-797 s for
-        # identical warm 3 Gbp runs) and the result we emit directly when
-        # the big scale no longer fits afterwards. With the default
-        # 840 s deadline this banks 1000 Mbp, then attempts 3000 only
-        # if the remaining budget still covers it.
-        ins = [m for m in cached[1:]
-               if est_s(m) <= remaining_s() * 0.45]
-        if ins:
-            ins_mbp = ins[0]
-            try:
-                run_scale(ins_mbp, profile=False)   # banks into RESULT
-            except BaseException:
-                ins_mbp = None
     for mbp in cached:
         est = est_s(mbp)
-        if mbp == ins_mbp and "error" not in RESULT:
-            emit(exit_code=None)   # already banked this scale's result
-            return
         if remaining_s() < est + 15.0:
             sys.stderr.write("bench: skipping cached %g Mbp (needs ~%.0fs, "
                              "%.0fs left)\n" % (mbp, est, remaining_s()))
