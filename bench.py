@@ -413,6 +413,91 @@ def run_scale(genome_mbp: float, profile: bool):
     return t_map0 - t_prep0, time.time() - t_map0
 
 
+def _min_viable_s(mbp: float) -> float:
+    """Fastest observed good-mood wall for a warm pinned run at this
+    scale (round-5 measurements: 1000 Mbp = 289 s, 3 Gbp = 616 s) plus
+    a little margin — a slice below this cannot succeed even in the
+    best mood, so don't bother starting it."""
+    return 0.12 * mbp + 190.0
+
+
+def _run_child(mbp: float, slice_s: float):
+    """One pinned-scale attempt in a killable child process; returns its
+    successful JSON line or None."""
+    import subprocess
+    env = dict(os.environ,
+               BENCH_GENOME_MBP=str(mbp),
+               BENCH_DEADLINE_S=str(max(slice_s - 8.0, 60.0)),
+               BENCH_SKIP_PROBE="1")
+    sys.stderr.write("bench: attempting %g Mbp (slice %.0fs)\n"
+                     % (mbp, slice_s))
+    sys.stderr.flush()
+    p = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                         stdout=subprocess.PIPE, env=env)
+    try:
+        out, _ = p.communicate(timeout=slice_s)
+    except subprocess.TimeoutExpired:
+        p.kill()
+        # give the corpse a moment to actually die (one TPU process at a
+        # time: the next child must not overlap it), but don't block
+        # forever — a tunnel syscall can absorb SIGKILL until it returns
+        for _ in range(20):
+            if p.poll() is not None:
+                break
+            time.sleep(0.5)
+        sys.stderr.write("bench: %g Mbp slice expired\n" % mbp)
+        return None
+    for line in reversed(out.decode(errors="replace").splitlines()):
+        try:
+            r = json.loads(line)
+        except ValueError:
+            continue
+        if r.get("value", 0) > 0 and "error" not in r:
+            return line
+        break
+    sys.stderr.write("bench: %g Mbp attempt failed\n" % mbp)
+    return None
+
+
+def _orchestrate(cached) -> bool:
+    """Banked ladder: attempt scales ASCENDING, each as a killable child
+    with a bounded slice, keeping the largest successful JSON line; the
+    final (largest) rung goes all-in on the remaining budget because the
+    banked line already guarantees a result. Emits the banked line and
+    returns True if any rung succeeded."""
+    global _emitted
+    ladder = sorted(cached)
+    if len(ladder) > 2:
+        # tiny scales only overstate vs_baseline; climb from 300 Mbp
+        # when bigger rungs exist
+        ladder = [m for m in ladder if m >= 300] or ladder
+    banked = None
+    for i, mbp in enumerate(ladder):
+        viable = _min_viable_s(mbp)
+        final = (i == len(ladder) - 1)
+        if final:
+            slice_s = remaining_s() - 15.0
+        else:
+            # bounded: leave budget for the bigger rungs
+            slice_s = min(remaining_s() - 15.0, viable + 150.0)
+        if slice_s < viable:
+            sys.stderr.write(
+                "bench: skipping %g Mbp (slice %.0fs < viable %.0fs)\n"
+                % (mbp, slice_s, viable))
+            continue
+        line = _run_child(mbp, slice_s)
+        if line is not None:
+            banked = line
+    if banked is None:
+        return False
+    with _emit_lock:
+        if not _emitted:
+            _emitted = True
+            sys.stdout.write(banked + "\n")
+            sys.stdout.flush()
+    return True
+
+
 def main():
     signal.signal(signal.SIGTERM, _on_signal)
     signal.signal(signal.SIGINT, _on_signal)
@@ -424,8 +509,9 @@ def main():
         # (same dance as cli.py)
         import jax
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    elif not _probe_backend(int(os.environ.get("BENCH_PROBE_TIMEOUT",
-                                               str(int(DEADLINE_S * 0.5))))):
+    elif not os.environ.get("BENCH_SKIP_PROBE") and not _probe_backend(
+            int(os.environ.get("BENCH_PROBE_TIMEOUT",
+                               str(int(DEADLINE_S * 0.5))))):
         RESULT["error"] = ("device backend unreachable (tunnel down?) - "
                            "probe timed out")
         emit(exit_code=1)
@@ -436,41 +522,17 @@ def main():
         scales = list(SCALES_MBP)
 
     # Warm machine (prep artifacts on disk, e.g. from scripts/bench_prep.py
-    # or a previous run): go straight for the LARGEST cached scale — its
-    # cost is load + warmup + timed passes — and stop on success; the
-    # headline number is the largest completed scale. Before the big
-    # scale, bank a small-scale INSURANCE result when the budget allows:
-    # if the big run outlives the deadline (e.g. a cold compile cache),
-    # the watchdog still emits a real number instead of an error line.
-    # Cold machine: ascending progressive escalation with extrapolation,
-    # so at least the smallest scale always lands.
-    def est_s(mbp):
-        # measured round 5: a scale's wall cost is DOMINATED by loading
-        # its ~50 cached executables (~500-800 s regardless of scale,
-        # large run-to-run variance) + data movement (~0.1 s/Mbp of npz
-        # load + device upload over the ~50 MB/s tunnel). Under the
-        # default 840 s deadline this admits exactly ONE attempt, at
-        # 1000 Mbp; 3000 needs a ~1200 s budget (BENCH_DEADLINE_S).
-        return 0.1 * mbp + 650.0
-
+    # or a previous run): attempt scales LARGEST-first, each in its own
+    # KILLABLE subprocess with a time slice that always reserves enough
+    # budget for the next smaller scale. Measured round 5: a warm run's
+    # wall cost swings 290-850 s at the SAME scale with the same caches
+    # (backend/tunnel mood phases), so a single non-preemptible attempt
+    # randomly eats the whole budget — the slice architecture turns a
+    # bad-mood big attempt into a fallback instead of an error line.
+    # Cold machine: ascending progressive escalation with extrapolation.
     cached = sorted((m for m in scales if cache_ready(m)), reverse=True)
-    for mbp in cached:
-        est = est_s(mbp)
-        if remaining_s() < est + 15.0:
-            sys.stderr.write("bench: skipping cached %g Mbp (needs ~%.0fs, "
-                             "%.0fs left)\n" % (mbp, est, remaining_s()))
-            continue
-        try:
-            prep_s, map_s = run_scale(mbp, profile=True)
-        except BaseException as e:   # fall through to smaller scales
-            import traceback
-            traceback.print_exc()
-            RESULT.setdefault("error", "crashed at %g Mbp: %r" % (mbp, e))
-            continue
-        if prep_s is None:   # BENCH_PREP_ONLY
-            RESULT.pop("error", None)
-            RESULT.update({"value": 0.0, "unit": "prep-only"})
-        emit(exit_code=None)
+    if cached and not os.environ.get("BENCH_GENOME_MBP") \
+            and _orchestrate(cached):
         return
 
     prev = None   # (mbp, prep_s, map_s)
