@@ -518,6 +518,9 @@ def main():
 
     if os.environ.get("BENCH_GENOME_MBP"):
         scales = [float(os.environ["BENCH_GENOME_MBP"])]
+    elif os.environ.get("BENCH_SCALES"):
+        scales = [float(x)
+                  for x in os.environ["BENCH_SCALES"].split(",")]
     else:
         scales = list(SCALES_MBP)
 
