@@ -511,7 +511,10 @@ def main():
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     elif not os.environ.get("BENCH_SKIP_PROBE") and not _probe_backend(
             int(os.environ.get("BENCH_PROBE_TIMEOUT",
-                               str(int(DEADLINE_S * 0.5))))):
+                               str(int(min(240.0, DEADLINE_S * 0.3)))))):
+        # healthy init takes 30-60 s; a full tunnel outage (observed
+        # round 5) hangs forever — fail fast with a diagnosable line
+        # instead of burning half the budget on the probe
         RESULT["error"] = ("device backend unreachable (tunnel down?) - "
                            "probe timed out")
         emit(exit_code=1)
